@@ -1,0 +1,13 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Multi-chip sharding paths (pjit/shard_map over jax.sharding.Mesh) are tested
+on a virtual 8-device CPU topology; real-TPU benchmarks run via bench.py.
+These env vars must be set before jax initializes its backends.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8").strip()
