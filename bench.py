@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Benchmark: vmapped CrowdSimPlus-equivalent env throughput on one chip.
+
+Config matches BASELINE.json's headline: circle-crossing rollout, 5 ORCA
+humans + DWA robot, batched envs. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+(baseline target: 10,000 vmapped env steps/sec/chip).
+"""
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from sicnav_tpu.env.types import EnvConfig
+    from sicnav_tpu.env import crowd_sim as CS
+    from sicnav_tpu.policies.dwa import dwa_policy
+
+    cfg = EnvConfig(scenario="circle_crossing", human_policy="orca",
+                    human_num=5, max_humans=5, starts_moving=0,
+                    robot_kinematics="unicycle")
+
+    platform = jax.devices()[0].platform
+    B = 1024 if platform == "tpu" else 64
+    T = 32
+
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    states = jax.vmap(lambda k: CS.reset_device(k, cfg))(keys)
+
+    @jax.jit
+    def roll(states):
+        def body(s, _):
+            action = jax.vmap(lambda st: dwa_policy(st, cfg))(s)
+            s2, rew, _ = jax.vmap(lambda st, a: CS.step_masked(st, a, cfg))(s, action)
+            return s2, rew
+
+        states, rews = jax.lax.scan(body, states, None, length=T)
+        return states, rews.sum()
+
+    # compile
+    out = roll(states)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    n_rep = 3
+    for _ in range(n_rep):
+        out = roll(states)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n_rep
+
+    steps_per_sec = B * T / dt
+    baseline = 10_000.0
+    print(json.dumps({
+        "metric": "vmapped env steps/sec/chip (circle-crossing, 5 ORCA humans + DWA robot)",
+        "value": round(steps_per_sec, 1),
+        "unit": "env_steps/s",
+        "vs_baseline": round(steps_per_sec / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, ".")
+    main()

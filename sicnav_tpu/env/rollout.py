@@ -1,0 +1,77 @@
+"""Batched episode rollout driver.
+
+Replaces the reference's Python episode loops (simple_test.py:216-268,
+RL_nav/RL_test.py:62-100) with a ``lax.scan`` over jitted env steps; batches
+of environments vmap over it, and meshes shard the batch axis.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from sicnav_tpu.env import crowd_sim
+from sicnav_tpu.env.types import EnvConfig, SimState
+
+
+class EpisodeStats(NamedTuple):
+    """Per-episode aggregates (parity: the per-step event logs of
+    simple_test.py:232-279 reduced to episode statistics)."""
+    success: jnp.ndarray        # bool — reached goal
+    timeout: jnp.ndarray        # bool
+    nav_time: jnp.ndarray       # time at termination (time_limit if timeout)
+    collision_steps: jnp.ndarray
+    wall_collision_steps: jnp.ndarray
+    frozen_steps: jnp.ndarray
+    danger_steps: jnp.ndarray
+    min_dist: jnp.ndarray       # min dmin over episode
+    total_reward: jnp.ndarray
+    steps: jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnames=("policy_fn", "cfg", "max_steps"))
+def rollout_episode(state: SimState, policy_fn: Callable, cfg: EnvConfig,
+                    max_steps: int):
+    """Run one episode to termination (or max_steps). ``policy_fn`` maps
+    SimState -> (2,) robot action. Returns (final_state, EpisodeStats,
+    trajectory SimState stacked over time)."""
+
+    def body(carry, _):
+        state, stats = carry
+        action = policy_fn(state)
+        new_state, reward, info = crowd_sim.step_masked(state, action, cfg)
+        live = ~state.done
+        stats = EpisodeStats(
+            success=stats.success | (live & info.reach_goal),
+            timeout=stats.timeout | (live & info.timeout),
+            nav_time=jnp.where(live & info.done, new_state.t, stats.nav_time),
+            collision_steps=stats.collision_steps + (live & info.collision),
+            wall_collision_steps=stats.wall_collision_steps + (live & info.wall_collision),
+            frozen_steps=stats.frozen_steps + (live & info.frozen),
+            danger_steps=stats.danger_steps + (live & info.danger),
+            min_dist=jnp.minimum(stats.min_dist,
+                                 jnp.where(live, info.dmin, jnp.inf)),
+            total_reward=stats.total_reward + reward,
+            steps=stats.steps + live)
+        return (new_state, stats), new_state
+
+    init_stats = EpisodeStats(
+        success=jnp.array(False), timeout=jnp.array(False),
+        nav_time=jnp.float32(cfg.time_limit),
+        collision_steps=jnp.int32(0), wall_collision_steps=jnp.int32(0),
+        frozen_steps=jnp.int32(0), danger_steps=jnp.int32(0),
+        min_dist=jnp.float32(jnp.inf), total_reward=jnp.float32(0.0),
+        steps=jnp.int32(0))
+
+    (final_state, stats), traj = jax.lax.scan(
+        body, (state, init_stats), None, length=max_steps)
+    return final_state, stats, traj
+
+
+def batch_rollout(states: SimState, policy_fn: Callable, cfg: EnvConfig,
+                  max_steps: int):
+    """vmapped rollout over a leading batch axis of ``states``."""
+    return jax.vmap(lambda s: rollout_episode(s, policy_fn, cfg, max_steps))(states)

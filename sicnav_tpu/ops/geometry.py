@@ -83,10 +83,10 @@ def line_intersection(a0, adir, b0, b1):
     the intersection point; where the lines are (near-)parallel the result is
     clamped to ``a0`` (reference would divide by ~0; callers guard this case).
     """
-    a1 = a0 + adir
-    d1 = a1 - a0
+    d1 = adir
     d2 = b1 - b0
-    denom = det2(d2, d1)
+    # solve a0 + t*d1 = b0 + s*d2  =>  t = det(b0 - a0, d2) / det(d1, d2)
+    denom = det2(d1, d2)
     t = det2(b0 - a0, d2) / jnp.where(jnp.abs(denom) > EPS, denom, jnp.inf)
     return a0 + t[..., None] * d1
 
