@@ -1,0 +1,162 @@
+"""CollisionAvoidMPC (CAMPC) — the SICNav robot policy.
+
+Functional port of sicnav/policy/campc.py: per control step, build the
+reference trajectory (point stabilization with hallway intermediate goals,
+get_ref_traj:1201-1252), generate/shift the feasible warmstart
+(select_action:569-610 + bring_fwd:539-566), solve the ORCA-KKT NLP with
+the batched interior-point solver, and run the failure cascade
+(warmstart-guess -> previous-solution -> emergency brake,
+campc.py:684-832). One call = one jitted program; vmap for fleets.
+
+Variants (policy.config parity): ``hum_model='orca_casadi_kkt'`` with
+``priviledged_info`` True/False gives SICNav-p / SICNav-np;
+``hum_model='cvmm'`` gives the MPC-CVMM baseline.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from sicnav_tpu.env.crowd_sim import intermediate_goals
+from sicnav_tpu.env.types import EnvConfig, SimState
+from sicnav_tpu.mpc import ipm, warmstart as WS
+from sicnav_tpu.mpc.ocp import MPCConfig, MPCParams, OCP
+from sicnav_tpu.ops.geometry import norm2
+
+
+class CAMPCCarry(NamedTuple):
+    """Cross-step policy state (reference reset_scenario_values:1255-1272)."""
+    z_prev: jnp.ndarray
+    has_prev: jnp.ndarray      # bool
+    num_prev_used: jnp.ndarray  # int32
+
+
+def init_carry(ocp: OCP) -> CAMPCCarry:
+    return CAMPCCarry(z_prev=jnp.zeros((ocp.cfg.n_z,), jnp.float32),
+                      has_prev=jnp.array(False),
+                      num_prev_used=jnp.int32(0))
+
+
+def build_params(ocp: OCP, state: SimState, env_cfg: EnvConfig) -> MPCParams:
+    """SimState -> MPCParams, applying the privileged / unprivileged model
+    view (campc.predict:1285-1330): unprivileged replaces human goals with a
+    2 s constant-velocity projection and v_pref with the configured bound."""
+    cfg = ocp.cfg
+    H = cfg.num_hums
+    h = slice(0, H)
+
+    v = state.r_vel
+    heading = jnp.arctan2(v[1], v[0])
+    aligned = jnp.abs(jnp.mod(state.r_theta - heading, 2 * jnp.pi)) < 1e-6
+    speed = norm2(v)
+    v_signed = jnp.where(speed < 1e-9, 0.0,
+                         jnp.where(aligned, speed, -speed))
+    x0_rob = jnp.stack([state.r_pos[0], state.r_pos[1], state.r_theta,
+                        v_signed])
+
+    if cfg.priviledged_info:
+        goals = state.h_goal[h]
+        v_max = state.h_v_pref[h]
+    else:
+        goals = state.h_pos[h] + state.h_vel[h] * 2.0
+        v_max = jnp.full((H,), cfg.human_max_speed)
+
+    hums0 = jnp.concatenate([state.h_pos[h], state.h_vel[h], goals], axis=-1)
+
+    # robot intermediate goal through hallway doors (campc.get_int_goal)
+    goal = intermediate_goals(state.r_pos[None], state.r_goal[None],
+                              state.door)[0]
+
+    x_ref = jnp.tile(goal[None], (cfg.K + 1, 1))
+    inflation = 0.01 + cfg.orca_params.safety_space
+    return MPCParams(
+        x0_rob=x0_rob, goal=goal, hums0=hums0,
+        hum_radii=state.h_radius[h] + inflation,
+        hum_coll_radii=state.h_radius[h],
+        v_max_prefs=v_max,
+        rob_radius=state.r_radius,
+        walls=state.walls[:cfg.num_walls],
+        wall_mask=state.wall_mask[:cfg.num_walls],
+        x_ref=x_ref)
+
+
+def _shift_guess(ocp: OCP, z_prev, params: MPCParams):
+    """bring_fwd (campc.py:539-566): shift the previous solution one stage
+    and fill the tail with a one-step warmstart from the rolled-out state."""
+    cfg = ocp.cfg
+    u_rob, u_hums, lam, slacks = ocp.unpack(z_prev)
+    u_rob = jnp.concatenate([u_rob[1:], u_rob[-1:]], 0)
+    u_hums = jnp.concatenate([u_hums[1:], u_hums[-1:]], 0)
+    lam = jnp.concatenate([lam[1:], lam[-1:]], 0)
+    # recompute the final stage from the rolled state
+    X_rob, X_hums = ocp.rollout(params, u_rob, u_hums)
+    k_last = cfg.K_orca - 1
+    uh, lm = jax.vmap(lambda a: WS.solve_human_step(
+        ocp, params, X_rob[k_last], X_hums[k_last], a))(jnp.arange(cfg.num_hums))
+    u_hums = u_hums.at[k_last].set(uh)
+    lam = lam.at[k_last].set(lm)
+    return ocp.pack(u_rob, u_hums, lam, slacks)
+
+
+@functools.partial(jax.jit, static_argnames=("ocp", "env_cfg", "settings"))
+def campc_action(ocp: OCP, state: SimState, carry: CAMPCCarry,
+                 env_cfg: EnvConfig,
+                 settings: ipm.IPMSettings = ipm.IPMSettings()):
+    """One CAMPC control step. Returns (action (2,) = (v, r=om*dt), carry')."""
+    cfg = ocp.cfg
+    params = build_params(ocp, state, env_cfg)
+
+    z_fresh = WS.warmstart_horizon(ocp, params)
+    z_shift = _shift_guess(ocp, jnp.where(carry.has_prev, carry.z_prev,
+                                          z_fresh), params)
+    z_guess = jnp.where(carry.has_prev, z_shift, z_fresh)
+    z_guess = jnp.where(jnp.all(jnp.isfinite(z_guess)), z_guess, z_fresh)
+
+    f_fn = lambda z: ocp.cost(z, params)
+    ce_fn = lambda z: ocp.eq_residuals(z, params)
+    ci_fn = lambda z: ocp.ineq_residuals(z, params)
+    z_sol, info = ipm.solve(f_fn, ce_fn, ci_fn, z_guess, settings)
+
+    # --- failure cascade --------------------------------------------------
+    sol_cost = ocp.cost(z_sol, params)
+    guess_cost = ocp.cost(z_guess, params)
+    sol_finite = jnp.all(jnp.isfinite(z_sol))
+    sol_feasible = sol_finite & (info.ineq_viol < 1e-2) & (info.eq_viol < 1e-1)
+    # reference: keep warmstart when the "optimized" value is worse (:695-707)
+    use_guess = (~sol_feasible) | (sol_cost > guess_cost)
+    z_used = jnp.where(use_guess, z_guess, z_sol)
+
+    # emergency brake if even the guess is broken (:754-786)
+    guess_ok = jnp.all(jnp.isfinite(z_guess))
+    u_rob, _, _, _ = ocp.unpack(z_used)
+    v_brake = jnp.maximum(params.x0_rob[3] + cfg.max_l_dcc * cfg.dt, 0.0)
+    action_u = jnp.where(guess_ok | ~use_guess, u_rob[0],
+                         jnp.stack([v_brake, jnp.float32(0.0)]))
+
+    action = jnp.stack([action_u[0], action_u[1] * cfg.dt])
+    carry_new = CAMPCCarry(
+        z_prev=z_used, has_prev=jnp.array(True),
+        num_prev_used=jnp.where(use_guess, carry.num_prev_used + 1,
+                                jnp.int32(0)))
+    return action, carry_new
+
+
+def make_policy(env_cfg: EnvConfig, mpc_cfg: Optional[MPCConfig] = None,
+                settings: Optional[ipm.IPMSettings] = None):
+    """Build (ocp, policy_fn) where policy_fn(state, carry) -> (action, carry)."""
+    if mpc_cfg is None:
+        mpc_cfg = MPCConfig(num_hums=env_cfg.max_humans,
+                            num_walls=env_cfg.wall_slots,
+                            dt=env_cfg.dt)
+    ocp = OCP(mpc_cfg)
+    if settings is None:
+        settings = ipm.IPMSettings()
+
+    def policy_fn(state: SimState, carry: CAMPCCarry):
+        return campc_action(ocp, state, carry, env_cfg, settings)
+
+    return ocp, policy_fn

@@ -1,0 +1,458 @@
+"""CAMPC optimal control problem: cost, dynamics rollout, constraints.
+
+TPU-native re-formulation of the reference NLP (sicnav/policy/campc.py
+get_opti_dict:191-510 + sicnav/utils/mpc_utils/mpc_env.py): instead of a
+CasADi Opti multiple-shooting program solved by IPOPT, the OCP is a pure
+function of a single dense decision vector
+
+    z = [U_rob (K,2) | U_hums (K_orca,H,3) | Lambda (K_orca,H,n_lam) | slacks]
+
+with states eliminated by a ``lax.scan`` rollout (single shooting). Every
+constraint class of the reference is reproduced, including the per-human
+ORCA-KKT embedding (stationarity + complementarity with rho=1e-10,
+mpc_env.py:611-641), the class-shared scaled slack variables with their
+exact penalty coefficients (campc.py:217-243,280-330), and the
+degeneracy-breaking random jitter (mpc_env.py:527-596, seeded rng(5)).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sicnav_tpu.mpc import orca_lines as OL
+from sicnav_tpu.ops.geometry import dot2
+
+SLACK_SCALING = 1e-3       # campc.py:219
+SLACK_PENAL = 1e9          # campc.py:220
+KKT_RHO = 1e-10            # mpc_env.py:637
+
+
+@dataclasses.dataclass(frozen=True)
+class MPCConfig:
+    """Static CAMPC configuration (defaults = sicnav/configs/policy.config)."""
+    horiz: int = 4                    # K
+    orca_kkt_horiz: int = 4           # K_orca (0 => = horiz)
+    hum_model: str = "orca_casadi_kkt"   # "orca_casadi_kkt" | "cvmm"
+    num_hums: int = 3
+    num_walls: int = 4
+    soft_constraints: bool = True
+    priviledged_info: bool = False
+    human_max_speed: float = 0.5      # v-max assumption when unprivileged
+    # robot limits ([mpc_env])
+    pref_speed: float = 0.90
+    max_speed: float = 0.95
+    max_rev_speed: float = 0.95
+    max_rot: float = float(60.0 * np.pi / 180.0)
+    max_l_acc: float = 0.5
+    max_l_dcc: float = -1.5
+    rob_rad_buffer: float = 0.02
+    orca_ksi_scaling: float = 1e-2
+    orca_vxy_scaling: float = 1.0
+    # MPC-internal ORCA model params ([humans] of policy.config)
+    orca_time_horizon: float = 2.5
+    orca_time_horizon_obst: float = 1.5
+    dt: float = 0.25
+    # cost (mpc_env.py:104-107 hardcoded)
+    term_q_coeff: float = 100.0
+    r_om: float = 0.1
+
+    @property
+    def K(self):
+        return self.horiz
+
+    @property
+    def K_orca(self):
+        k = self.orca_kkt_horiz
+        return self.horiz if k == 0 else min(k, self.horiz)
+
+    @property
+    def n_lam(self):
+        # pairwise (others + robot) + walls + maxvel + ksi  (mpc_env.py:64)
+        return self.num_hums + self.num_walls + 2
+
+    @property
+    def kkt(self):
+        return self.hum_model == "orca_casadi_kkt"
+
+    @property
+    def n_z(self):
+        n = self.K * 2
+        if self.kkt:
+            n += self.K_orca * self.num_hums * 3
+            n += self.K_orca * self.num_hums * self.n_lam
+        n += self.n_slack
+        return n
+
+    @property
+    def n_slack(self):
+        # all classes always present: coll(H) + stat + bound + maxvel(H)
+        # + ksi(H) + acc + kkt_ineq(H) + kkt_eq(H)
+        return 5 * self.num_hums + 3 if self.soft_constraints else 0
+
+    @property
+    def orca_params(self) -> OL.OrcaModelParams:
+        return OL.OrcaModelParams(time_horizon=self.orca_time_horizon,
+                                  time_horizon_obst=self.orca_time_horizon_obst,
+                                  dt=self.dt)
+
+
+class MPCParams(NamedTuple):
+    """Per-solve problem data (pytree)."""
+    x0_rob: jnp.ndarray       # (4,) [x, y, theta, v_prev]
+    goal: jnp.ndarray         # (2,) robot goal (may be intermediate)
+    hums0: jnp.ndarray        # (H, 6) [px, py, vx, vy, gx, gy] (model view)
+    hum_radii: jnp.ndarray    # (H,) model radii for ORCA lines
+    hum_coll_radii: jnp.ndarray  # (H,) radii for robot-human collision
+    v_max_prefs: jnp.ndarray  # (H,) model v_pref bound per human
+    rob_radius: jnp.ndarray   # ()
+    walls: jnp.ndarray        # (W, 2, 2)
+    wall_mask: jnp.ndarray    # (W,)
+    x_ref: jnp.ndarray        # (K+1, 2) reference robot positions
+
+
+class Slacks(NamedTuple):
+    coll: jnp.ndarray         # (H,)
+    stat: jnp.ndarray         # ()
+    bound: jnp.ndarray        # ()
+    maxvel: jnp.ndarray       # (H,)
+    ksi: jnp.ndarray          # (H,)
+    acc: jnp.ndarray          # ()
+    kkt_ineq: jnp.ndarray     # (H,)
+    kkt_eq: jnp.ndarray       # (H,)
+
+
+def _build_jitter(cfg: MPCConfig):
+    """Degeneracy-breaking constants, one per (human, constraint row), drawn
+    once with the reference's seeded generator (mpc_env.py:66 rng(5);
+    :527,550,594)."""
+    rng = np.random.default_rng(5)
+    H, W = cfg.num_hums, cfg.num_walls
+    pair_adj = 1.0 + rng.uniform(-5e-4, 5e-4, size=(H, H))       # per (A, B incl rob)
+    stat_adj = rng.choice([-1.0, 1.0], size=(H, W)) * rng.uniform(1e-4, 9e-4, size=(H, W))
+    ksi_vx = rng.choice([-1.0, 1.0], size=(H,)) * rng.uniform(1e-5, 9e-4, size=(H,))
+    ksi_vy = rng.choice([-1.0, 1.0], size=(H,)) * rng.uniform(1e-5, 9e-4, size=(H,))
+    return (jnp.asarray(pair_adj, jnp.float32), jnp.asarray(stat_adj, jnp.float32),
+            jnp.asarray(ksi_vx, jnp.float32), jnp.asarray(ksi_vy, jnp.float32))
+
+
+class OCP:
+    """Assembles cost / equality / inequality residual functions over z."""
+
+    def __init__(self, cfg: MPCConfig):
+        self.cfg = cfg
+        self.jitter = _build_jitter(cfg)
+
+    # ------------------------------------------------------------------ z
+    def unpack(self, z):
+        cfg = self.cfg
+        K, Ko, H, nl = cfg.K, cfg.K_orca, cfg.num_hums, cfg.n_lam
+        i = 0
+        u_rob = z[i:i + K * 2].reshape(K, 2); i += K * 2
+        if cfg.kkt:
+            u_hums = z[i:i + Ko * H * 3].reshape(Ko, H, 3); i += Ko * H * 3
+            lam = z[i:i + Ko * H * nl].reshape(Ko, H, nl); i += Ko * H * nl
+        else:
+            u_hums = jnp.zeros((Ko, H, 3), z.dtype)
+            lam = jnp.zeros((Ko, H, nl), z.dtype)
+        if cfg.soft_constraints:
+            s = z[i:]
+            slacks = Slacks(
+                coll=s[0:H],
+                stat=s[H], bound=s[H + 1],
+                maxvel=s[H + 2:2 * H + 2],
+                ksi=s[2 * H + 2:3 * H + 2],
+                acc=s[3 * H + 2],
+                kkt_ineq=s[3 * H + 3:4 * H + 3],
+                kkt_eq=s[4 * H + 3:5 * H + 3])
+        else:
+            zero = jnp.zeros((), z.dtype)
+            zH = jnp.zeros((cfg.num_hums,), z.dtype)
+            slacks = Slacks(zH, zero, zero, zH, zH, zero, zH, zH)
+        return u_rob, u_hums, lam, slacks
+
+    def pack(self, u_rob, u_hums, lam, slacks: Slacks):
+        cfg = self.cfg
+        parts = [u_rob.ravel()]
+        if cfg.kkt:
+            parts += [u_hums.ravel(), lam.ravel()]
+        if cfg.soft_constraints:
+            parts += [slacks.coll, slacks.stat[None], slacks.bound[None],
+                      slacks.maxvel, slacks.ksi, slacks.acc[None],
+                      slacks.kkt_ineq, slacks.kkt_eq]
+        return jnp.concatenate(parts)
+
+    # ------------------------------------------------------------ dynamics
+    def u_hums_at(self, u_hums, k):
+        """Human decision vars at stage k (repeated beyond K_orca,
+        campc.py:247-249)."""
+        return u_hums[jnp.minimum(k, self.cfg.K_orca - 1)]
+
+    def rollout(self, params: MPCParams, u_rob, u_hums):
+        """Single-shooting rollout. Returns (X_rob (K+1,4), X_hums (K+1,H,6)).
+
+        Robot: unicycle with lookahead heading (mpc_env.gen_kin_model:315-345).
+        Humans: position integrates the decision velocity (KKT model,
+        mpc_env.get_ORCA_human_dynamics_eqn:380-520) or CVMM."""
+        cfg = self.cfg
+        dt = cfg.dt
+        sv = cfg.orca_vxy_scaling
+
+        def body(carry, k):
+            xr, xh = carry
+            v, om = u_rob[k, 0], u_rob[k, 1]
+            th_next = xr[2] + dt * om
+            xr_next = jnp.stack([
+                xr[0] + dt * v * jnp.cos(th_next),
+                xr[1] + dt * v * jnp.sin(th_next),
+                th_next, v])
+            if cfg.kkt:
+                uh = self.u_hums_at(u_hums, k)          # (H, 3)
+                vel = sv * uh[:, :2]
+            else:
+                vel = xh[:, 2:4]
+            xh_next = jnp.concatenate(
+                [xh[:, :2] + vel * dt, vel, xh[:, 4:6]], axis=-1)
+            return (xr_next, xh_next), (xr_next, xh_next)
+
+        init = (params.x0_rob, params.hums0)
+        _, (xr_traj, xh_traj) = jax.lax.scan(body, init, jnp.arange(cfg.K))
+        X_rob = jnp.concatenate([params.x0_rob[None], xr_traj], axis=0)
+        X_hums = jnp.concatenate([params.hums0[None], xh_traj], axis=0)
+        return X_rob, X_hums
+
+    # ---------------------------------------------------------------- cost
+    def tracking_cost(self, params: MPCParams, X_rob, u_rob):
+        """0.5 |p_k - p_ref|^2 (+ terminal coeff) + 0.5 r_om om^2
+        (mpc_env.py:104-107)."""
+        cfg = self.cfg
+        dp = X_rob[:, :2] - params.x_ref                # (K+1, 2)
+        w = jnp.concatenate([jnp.ones(cfg.K), jnp.array([cfg.term_q_coeff])])
+        cost = 0.5 * jnp.sum(w * jnp.sum(dp * dp, axis=-1))
+        cost = cost + 0.5 * cfg.r_om * jnp.sum(u_rob[:, 1] ** 2)
+        return cost
+
+    def slack_cost(self, slacks: Slacks):
+        """Exact reference penalty terms (campc.py:280-330)."""
+        cfg = self.cfg
+        if not cfg.soft_constraints:
+            return jnp.float32(0.0)
+        K, Ko, W = cfg.K, cfg.K_orca, cfg.num_walls
+        sc = SLACK_SCALING
+        c = SLACK_PENAL
+        tot = jnp.sum(101.0 * (K + 1) * c * (sc * slacks.coll) ** 2)
+        tot += 101.0 * W * (K + 1) * c * (sc * slacks.stat) ** 2
+        tot += 101.0 * K * c * (sc * slacks.bound) ** 2
+        tot += jnp.sum(101.0 * K * c * (sc * slacks.maxvel) ** 2)
+        tot += jnp.sum(101.0 * K * c * (sc * slacks.ksi) ** 2)
+        tot += K * c * (sc * slacks.acc) ** 2
+        tot += jnp.sum(101.0 * Ko * c * (sc * slacks.kkt_ineq) ** 2)
+        tot += jnp.sum(0.1 * Ko * c * (sc * slacks.kkt_eq) ** 2)
+        return tot
+
+    def cost(self, z, params: MPCParams):
+        u_rob, u_hums, lam, slacks = self.unpack(z)
+        X_rob, _ = self.rollout(params, u_rob, u_hums)
+        return self.tracking_cost(params, X_rob, u_rob) + self.slack_cost(slacks)
+
+    def tracking_cost_only(self, z, params: MPCParams):
+        """Unpenalized cost (for warmstart comparison, campc.py:695)."""
+        u_rob, u_hums, _, _ = self.unpack(z)
+        X_rob, _ = self.rollout(params, u_rob, u_hums)
+        return self.tracking_cost(params, X_rob, u_rob)
+
+    # ------------------------------------------------- human ORCA geometry
+    def human_orca_g(self, params: MPCParams, xr, xh, uh_a, a):
+        """Inequality vector g (n_lam,) of human ``a``'s relaxed-ORCA problem
+        at one stage: pairwise lines (others + robot), walls, maxvel, ksi
+        (mpc_env.get_symcon_ORCA_* :527-612). uh_a = (3,) raw [vx, vy, ksi]."""
+        cfg = self.cfg
+        op = cfg.orca_params
+        sv, sk = cfg.orca_vxy_scaling, cfg.orca_ksi_scaling
+        pair_adj, stat_adj, ksi_vx, ksi_vy = self.jitter
+        H = cfg.num_hums
+
+        pos_a = xh[a, :2]
+        vel_a = xh[a, 2:4]
+        rad_a = params.hum_radii[a]
+        v = sv * uh_a[:2]
+        ksi = uh_a[2]
+
+        # pairwise vs other humans and robot (robot occupies slot a itself)
+        rob_pos = xr[:2]
+        rob_vel = xr[3] * jnp.stack([jnp.cos(xr[2]), jnp.sin(xr[2])])
+
+        def pair_row(b):
+            is_rob = b == a      # slot a repurposed for the robot
+            pos_b = jnp.where(is_rob, rob_pos, xh[b, :2])
+            vel_b = jnp.where(is_rob, rob_vel, xh[b, 2:4])
+            rad_b = jnp.where(is_rob, params.rob_radius, params.hum_radii[b])
+            n, s = OL.pairwise_line(pos_a, vel_a, pos_b, vel_b, rad_a, rad_b, op)
+            return -dot2(n, v) + s - pair_adj[a, b] * sk * ksi
+
+        g_pair = jax.vmap(pair_row)(jnp.arange(H))
+
+        def stat_row(w_idx):
+            n, s = OL.static_line(pos_a, vel_a, rad_a, params.walls[w_idx],
+                                  params.wall_mask[w_idx], op)
+            return -dot2(n, v) + s - stat_adj[a, w_idx] * sk * ksi
+
+        g_stat = jax.vmap(stat_row)(jnp.arange(cfg.num_walls))
+
+        g_maxvel = dot2(v, v) - params.v_max_prefs[a] ** 2
+        g_ksi = ksi_vx[a] * v[0] + ksi_vy[a] * v[1] - sk * ksi
+        return jnp.concatenate([g_pair, g_stat,
+                                g_maxvel[None], g_ksi[None]])
+
+    def human_lagrangian(self, params: MPCParams, xr, xh, uh_a, lam_a, a):
+        """Lower-level Lagrangian L = cost + lam^T g of human a at one stage
+        (mpc_env.get_symcon_ORCA_humA_kkt_const:611-641)."""
+        cfg = self.cfg
+        v_pref = OL.v_pref_from_state(xh[a, :2], xh[a, 4:6], params.v_max_prefs[a])
+        cost = OL.lower_level_cost(cfg.orca_vxy_scaling * uh_a[:2],
+                                   cfg.orca_ksi_scaling * uh_a[2], v_pref)
+        g = self.human_orca_g(params, xr, xh, uh_a, a)
+        return cost + jnp.dot(lam_a, g), g
+
+    # ---------------------------------------------------------- residuals
+    def eq_residuals(self, z, params: MPCParams):
+        """KKT equality block: stationarity + complementarity (soft: minus
+        the shared per-human eq slack). Shape (K_orca, H, 3 + n_lam)."""
+        cfg = self.cfg
+        if not cfg.kkt:
+            return jnp.zeros((0,), z.dtype)
+        u_rob, u_hums, lam, slacks = self.unpack(z)
+        X_rob, X_hums = self.rollout(params, u_rob, u_hums)
+
+        def stage(k):
+            xr, xh = X_rob[k], X_hums[k]
+
+            def per_hum(a):
+                uh_a = u_hums[k, a]
+                lam_a = lam[k, a]
+                grad = jax.grad(
+                    lambda u: self.human_lagrangian(params, xr, xh, u, lam_a, a)[0]
+                )(uh_a)
+                _, g = self.human_lagrangian(params, xr, xh, uh_a, lam_a, a)
+                comp = lam_a * g - KKT_RHO
+                res = jnp.concatenate([grad, comp])
+                return res - SLACK_SCALING * slacks.kkt_eq[a]
+
+            return jax.vmap(per_hum)(jnp.arange(cfg.num_hums))
+
+        res = jax.vmap(stage)(jnp.arange(cfg.K_orca))
+        return res.ravel()
+
+    def ineq_residuals(self, z, params: MPCParams):
+        """All inequality rows (<= 0), slack-shifted."""
+        cfg = self.cfg
+        K, Ko, H, W = cfg.K, cfg.K_orca, cfg.num_hums, cfg.num_walls
+        sc = SLACK_SCALING
+        u_rob, u_hums, lam, slacks = self.unpack(z)
+        X_rob, X_hums = self.rollout(params, u_rob, u_hums)
+        rows = []
+
+        # robot-human collision, stages 0..K (mpc_env.get_mpc_coll_constraints)
+        comb = (params.hum_coll_radii + params.rob_radius +
+                cfg.rob_rad_buffer + 0.01)               # (H,)
+        d = X_rob[:, None, :2] - X_hums[:, :, :2]        # (K+1, H, 2)
+        coll = -(jnp.sum(d * d, -1) - comb[None, :] ** 2)
+        rows.append((coll - sc * slacks.coll[None, :]).ravel())
+
+        # robot-wall capsule, stages 0..K; buffer rule (mpc_env.py:364-375)
+        rob_r = params.rob_radius
+        stat_buf = jnp.where(cfg.max_speed * cfg.dt >= rob_r,
+                             cfg.max_speed * cfg.dt - rob_r + 0.01, 0.05)
+        comb_rad = rob_r + stat_buf
+
+        def wall_rows(wall, wmask):
+            p1, p2 = wall[0], wall[1]
+            vv = p2 - p1
+            ww = X_rob[:, :2] - p1[None]
+            t = jnp.clip(jnp.sum(ww * vv, -1) / jnp.maximum(jnp.dot(vv, vv), 1e-12),
+                         0.0, 1.0)
+            cp = p1[None] + t[:, None] * vv[None]
+            dvec = X_rob[:, :2] - cp
+            val = -(jnp.sum(dvec * dvec, -1) - comb_rad ** 2)
+            return jnp.where(wmask, val, -1.0)           # inactive padded walls
+
+        stat = jax.vmap(wall_rows)(params.walls, params.wall_mask)  # (W, K+1)
+        rows.append((stat - sc * slacks.stat).ravel())
+
+        # robot input bounds (mpc_env.get_kin_bound_constraint)
+        lb = jnp.array([-cfg.max_rev_speed, -cfg.max_rot + 0.001])
+        ub = jnp.array([cfg.max_speed, cfg.max_rot])
+        rows.append(((u_rob - ub[None]) - sc * slacks.bound).ravel())
+        rows.append(((lb[None] - u_rob) - sc * slacks.bound).ravel())
+
+        # accel constraints (mpc_env.get_kin_acc_constraint)
+        v_prev = X_rob[:K, 3]
+        v_u = u_rob[:, 0]
+        diff = jnp.abs(v_u) - jnp.abs(v_prev)
+        upper = diff - cfg.max_l_acc * cfg.dt
+        low_b = jnp.maximum(cfg.max_l_dcc * cfg.dt, -jnp.abs(v_prev))
+        lower = -diff + low_b
+        sign = -jnp.sign(v_prev) * v_u - 1e-5
+        acc = jnp.stack([upper, lower, sign], -1)        # (K, 3)
+        rows.append((acc - sc * slacks.acc).ravel())
+
+        if cfg.kkt:
+            # human maxvel + ksi rows over the full horizon K (on repeated u)
+            def uh_all(k):
+                return self.u_hums_at(u_hums, k)
+            uh_full = jax.vmap(uh_all)(jnp.arange(K))    # (K, H, 3)
+            sv, sk = cfg.orca_vxy_scaling, cfg.orca_ksi_scaling
+            vmag2 = jnp.sum((sv * uh_full[:, :, :2]) ** 2, -1)
+            maxvel = vmag2 - params.v_max_prefs[None, :] ** 2
+            rows.append((maxvel - sc * slacks.maxvel[None, :]).ravel())
+            _, _, ksi_vx, ksi_vy = self.jitter
+            ksi_rows = (ksi_vx[None, :] * sv * uh_full[:, :, 0] +
+                        ksi_vy[None, :] * sv * uh_full[:, :, 1] -
+                        sk * uh_full[:, :, 2])
+            rows.append((ksi_rows - sc * slacks.ksi[None, :]).ravel())
+
+            # KKT inequality block: primal feasibility g <= 0, dual feas -lam <= 0
+            def kkt_stage(k):
+                xr, xh = X_rob[k], X_hums[k]
+
+                def per_hum(a):
+                    g = self.human_orca_g(params, xr, xh, u_hums[k, a], a)
+                    block = jnp.concatenate([g, -lam[k, a]])
+                    return block - sc * slacks.kkt_ineq[a]
+
+                return jax.vmap(per_hum)(jnp.arange(H))
+
+            kkt_in = jax.vmap(kkt_stage)(jnp.arange(Ko))
+            rows.append(kkt_in.ravel())
+
+        if cfg.soft_constraints:
+            # slack nonnegativity (eq slacks are free)
+            rows.append(-slacks.coll)
+            rows.append(-slacks.stat[None])
+            rows.append(-slacks.bound[None])
+            rows.append(-slacks.maxvel)
+            rows.append(-slacks.ksi)
+            rows.append(-slacks.acc[None])
+            rows.append(-slacks.kkt_ineq)
+        return jnp.concatenate(rows)
+
+    # ------------------------------------------------------------ sizes
+    @property
+    def n_eq(self):
+        cfg = self.cfg
+        return cfg.K_orca * cfg.num_hums * (3 + cfg.n_lam) if cfg.kkt else 0
+
+    @property
+    def n_ineq(self):
+        cfg = self.cfg
+        K, Ko, H, W = cfg.K, cfg.K_orca, cfg.num_hums, cfg.num_walls
+        n = (K + 1) * H + (K + 1) * W + 2 * 2 * K + 3 * K
+        if cfg.kkt:
+            n += 2 * K * H + 2 * Ko * H * cfg.n_lam
+        if cfg.soft_constraints:
+            n += 4 * H + 3
+        return n

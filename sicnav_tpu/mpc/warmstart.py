@@ -1,0 +1,178 @@
+"""Feasible warmstart generation for CAMPC.
+
+The reference builds the warmstart by (a) simulating the humans forward with
+the real RVO2 ORCA solver (orca_c_wrapper.py:120-178) or the per-human
+CasADi NLPs (orca_casadi.optimize_all:845), which also yield the duals, and
+(b) treating the robot itself as an ORCA agent with extra rotation/accel
+half-planes (orca_casadi.get_rob_warmstart_fn:1022-1161). Here both use the
+same batched JAX ORCA LP (ops.orca) over the MPC's internal model
+parameters, with duals recovered from the active set by a masked
+least-squares fit to the stationarity condition.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from sicnav_tpu.mpc import orca_lines as OL
+from sicnav_tpu.mpc.ocp import MPCConfig, MPCParams, OCP, Slacks
+from sicnav_tpu.ops.geometry import dot2, norm2
+from sicnav_tpu.ops.orca import solve_orca_lp
+
+
+def _human_lines(ocp: OCP, params: MPCParams, xr, xh, a):
+    """All half-planes (norm, scalar) of human ``a``'s model-ORCA problem
+    in the same row order as OCP.human_orca_g (minus maxvel/ksi)."""
+    cfg = ocp.cfg
+    op = cfg.orca_params
+    H = cfg.num_hums
+    pos_a, vel_a = xh[a, :2], xh[a, 2:4]
+    rad_a = params.hum_radii[a]
+    rob_pos = xr[:2]
+    rob_vel = xr[3] * jnp.stack([jnp.cos(xr[2]), jnp.sin(xr[2])])
+
+    def pair(b):
+        is_rob = b == a
+        pos_b = jnp.where(is_rob, rob_pos, xh[b, :2])
+        vel_b = jnp.where(is_rob, rob_vel, xh[b, 2:4])
+        rad_b = jnp.where(is_rob, params.rob_radius, params.hum_radii[b])
+        return OL.pairwise_line(pos_a, vel_a, pos_b, vel_b, rad_a, rad_b, op)
+
+    n_pair, s_pair = jax.vmap(pair)(jnp.arange(H))
+
+    def stat(w):
+        return OL.static_line(pos_a, vel_a, rad_a, params.walls[w],
+                              params.wall_mask[w], op)
+
+    n_stat, s_stat = jax.vmap(stat)(jnp.arange(cfg.num_walls))
+    return (jnp.concatenate([n_pair, n_stat], 0),
+            jnp.concatenate([s_pair, s_stat], 0))
+
+
+def solve_human_step(ocp: OCP, params: MPCParams, xr, xh, a):
+    """One human's relaxed-ORCA solve: velocity via the LP core, ksi = max
+    violation, duals via active-set least squares.
+
+    Returns (u (3,) [vx, vy, ksi_raw], lam (n_lam,))."""
+    cfg = ocp.cfg
+    norms, scalars = _human_lines(ocp, params, xr, xh, a)
+    v_max = params.v_max_prefs[a]
+    v_pref = OL.v_pref_from_state(xh[a, :2], xh[a, 4:6], v_max)
+
+    # half-plane form for the LP core: feasible = left of (point, dir)
+    # n.v >= b  <=>  det(dir, point - v) <= 0 with dir = (n_y, -n_x),
+    # point = b*n (a point on the line since |n| ~ 1... use b*n/|n|^2)
+    nn = jnp.maximum(jnp.sum(norms * norms, -1), 1e-12)
+    pts = scalars[:, None] * norms / nn[:, None]
+    dirs = jnp.stack([norms[:, 1], -norms[:, 0]], -1)
+    valid = jnp.ones(pts.shape[0], bool)
+    is_obst = jnp.zeros(pts.shape[0], bool)
+    v = solve_orca_lp(pts, dirs, valid, is_obst, v_max, v_pref)
+
+    g_lines = scalars - jnp.sum(norms * v[None, :], -1)   # >0 => violated
+    ksi_eff = jnp.maximum(jnp.max(g_lines), 0.0)          # relaxation needed
+    ksi_raw = ksi_eff / cfg.orca_ksi_scaling
+
+    # duals from stationarity: 2(v - v_pref) = sum lam_i * n_i over active set
+    act = g_lines > -1e-6
+    A = jnp.where(act[:, None], norms, 0.0)               # (L, 2)
+    b = 2.0 * (v - v_pref)
+    AtA = A @ A.T + 1e-6 * jnp.eye(A.shape[0])
+    lam_lines = jnp.maximum(jnp.linalg.solve(AtA, A @ b), 0.0)
+
+    speed2 = dot2(v, v)
+    lam_maxvel = jnp.where(speed2 > v_max ** 2 - 1e-6, 0.1, 0.0)
+    lam_ksi = jnp.zeros(())
+    u = jnp.concatenate([v / cfg.orca_vxy_scaling, ksi_raw[None]])
+    lam = jnp.concatenate([lam_lines, lam_maxvel[None], lam_ksi[None]])
+    return u, lam
+
+
+def robot_warmstart_velocity(ocp: OCP, params: MPCParams, xr, xh):
+    """Robot treated as an ORCA agent toward its goal
+    (orca_casadi.get_ORCA_rob_simulatedconsts:534-570 simplified): ORCA LP
+    over pairwise lines vs all humans + wall lines, pref vel toward goal."""
+    cfg = ocp.cfg
+    op = cfg.orca_params
+    pos = xr[:2]
+    vel = xr[3] * jnp.stack([jnp.cos(xr[2]), jnp.sin(xr[2])])
+    rad = params.rob_radius
+
+    def pair(b):
+        return OL.pairwise_line(pos, vel, xh[b, :2], xh[b, 2:4], rad,
+                                params.hum_radii[b], op)
+
+    n_p, s_p = jax.vmap(pair)(jnp.arange(cfg.num_hums))
+
+    def stat(w):
+        return OL.static_line(pos, vel, rad, params.walls[w],
+                              params.wall_mask[w], op)
+
+    n_s, s_s = jax.vmap(stat)(jnp.arange(cfg.num_walls))
+    norms = jnp.concatenate([n_p, n_s], 0)
+    scalars = jnp.concatenate([s_p, s_s], 0)
+
+    goal_vec = params.goal - pos
+    mag = norm2(goal_vec)
+    v_pref = jnp.where(mag > cfg.pref_speed,
+                       goal_vec / jnp.maximum(mag, 1e-9) * cfg.pref_speed,
+                       goal_vec)
+
+    nn = jnp.maximum(jnp.sum(norms * norms, -1), 1e-12)
+    pts = scalars[:, None] * norms / nn[:, None]
+    dirs = jnp.stack([norms[:, 1], -norms[:, 0]], -1)
+    valid = jnp.ones(pts.shape[0], bool)
+    is_obst = jnp.zeros(pts.shape[0], bool)
+    return solve_orca_lp(pts, dirs, valid, is_obst, cfg.max_speed, v_pref)
+
+
+def _vel_to_unicycle(ocp: OCP, xr, v_des):
+    """Convert a desired holonomic velocity into feasible (v, om): rotate
+    toward the desired heading within max_rot, speed within accel limits."""
+    cfg = ocp.cfg
+    des_th = jnp.arctan2(v_des[1], v_des[0])
+    dth = jnp.arctan2(jnp.sin(des_th - xr[2]), jnp.cos(des_th - xr[2]))
+    om = jnp.clip(dth / cfg.dt, -cfg.max_rot + 0.001, cfg.max_rot)
+    sp = norm2(v_des) * jnp.cos(jnp.clip(dth, -jnp.pi / 2, jnp.pi / 2))
+    sp = jnp.maximum(sp, 0.0)
+    v_prev = xr[3]
+    sp = jnp.clip(sp, jnp.maximum(v_prev + cfg.max_l_dcc * cfg.dt, 0.0),
+                  jnp.minimum(v_prev + cfg.max_l_acc * cfg.dt, cfg.max_speed))
+    return jnp.stack([sp, om])
+
+
+def warmstart_horizon(ocp: OCP, params: MPCParams):
+    """Full-horizon feasible warmstart: roll robot (ORCA-as-agent) + humans
+    (per-human ORCA solves with duals) forward (campc.warmstart_horiz).
+
+    Returns z0 (packed decision vector)."""
+    cfg = ocp.cfg
+    H = cfg.num_hums
+
+    def body(carry, k):
+        xr, xh = carry
+        v_rob = robot_warmstart_velocity(ocp, params, xr, xh)
+        u_rob = _vel_to_unicycle(ocp, xr, v_rob)
+
+        uh, lam = jax.vmap(lambda a: solve_human_step(ocp, params, xr, xh, a))(
+            jnp.arange(H))
+
+        # integrate
+        th_next = xr[2] + cfg.dt * u_rob[1]
+        xr_next = jnp.stack([
+            xr[0] + cfg.dt * u_rob[0] * jnp.cos(th_next),
+            xr[1] + cfg.dt * u_rob[0] * jnp.sin(th_next),
+            th_next, u_rob[0]])
+        vel = cfg.orca_vxy_scaling * uh[:, :2]
+        xh_next = jnp.concatenate([xh[:, :2] + vel * cfg.dt, vel, xh[:, 4:6]], -1)
+        return (xr_next, xh_next), (u_rob, uh, lam)
+
+    (_, _), (u_rob, u_hums, lam) = jax.lax.scan(
+        body, (params.x0_rob, params.hums0), jnp.arange(cfg.K))
+
+    H_ = cfg.num_hums
+    zero = jnp.zeros(())
+    zH = jnp.zeros((H_,))
+    slacks = Slacks(zH, zero, zero, zH, zH, zero, zH, zH)
+    return ocp.pack(u_rob, u_hums[:cfg.K_orca], lam[:cfg.K_orca], slacks)

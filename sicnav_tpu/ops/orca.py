@@ -124,6 +124,129 @@ def agent_orca_lines(pos, vel, rad, max_speed_unused, npos, nvel, nrad, nmask,
 # Half-plane construction: static line-segment obstacles
 # ---------------------------------------------------------------------------
 
+def edge_orca_line(pos, vel, rad, ep1, ep2, inv_th):
+    """ORCA line of one acting agent vs. ONE directed obstacle edge
+    (the geometric core of RVO2's obstacle VO construction, minus the
+    sequential already-covered pruning). Assumes standalone 2-vertex wall
+    topology (both endpoints convex). Differentiable jnp.where chain.
+
+    Args:
+      pos, vel: (2,) acting agent state; rad: () inflated radius.
+      ep1, ep2: (2,) edge endpoints (direction ep1 -> ep2).
+      inv_th: scalar 1/time_horizon_obst.
+
+    Returns (point (2,), direction (2,), valid ()).
+    """
+    rp1 = ep1 - pos
+    rp2 = ep2 - pos
+    u_d = normalize(ep2 - ep1)
+    r_sq = rad * rad
+
+    d1_sq = dot2(rp1, rp1)
+    d2_sq = dot2(rp2, rp2)
+    ovec = ep2 - ep1
+    ovec_sq = jnp.maximum(dot2(ovec, ovec), 1e-18)
+    s = dot2(-rp1, ovec) / ovec_sq
+    dline_sq = dot2(-rp1 - s * ovec, -rp1 - s * ovec)
+
+    # --- collision cases (point = 0) ----------------------------------
+    coll_v1 = (s < 0.0) & (d1_sq <= r_sq)
+    coll_v2 = (s > 1.0) & (d2_sq <= r_sq)
+    coll_seg = (s >= 0.0) & (s <= 1.0) & (dline_sq <= r_sq)
+    coll_v2_valid = det2(rp2, -u_d) >= 0.0
+    dir_coll_v1 = normalize(jnp.stack([-rp1[1], rp1[0]]))
+    dir_coll_v2 = normalize(jnp.stack([-rp2[1], rp2[0]]))
+    dir_coll_seg = -u_d
+
+    in_collision = coll_v1 | coll_v2 | coll_seg
+    coll_valid = jnp.where(coll_v1, True,
+                           jnp.where(coll_v2, coll_v2_valid, coll_seg))
+    dir_coll = jnp.where(coll_v1, dir_coll_v1,
+                         jnp.where(coll_v2, dir_coll_v2, dir_coll_seg))
+
+    # --- no collision: leg directions ---------------------------------
+    oblique1 = (s < 0.0) & (dline_sq <= r_sq)
+    oblique2 = (s > 1.0) & (dline_sq <= r_sq)
+
+    leg1 = jnp.sqrt(jnp.maximum(d1_sq - r_sq, 0.0))
+    leg2 = jnp.sqrt(jnp.maximum(d2_sq - r_sq, 0.0))
+    d1s = jnp.maximum(d1_sq, 1e-18)
+    d2s = jnp.maximum(d2_sq, 1e-18)
+    left1 = jnp.stack([rp1[0] * leg1 - rp1[1] * rad,
+                       rp1[0] * rad + rp1[1] * leg1]) / d1s
+    right1 = jnp.stack([rp1[0] * leg1 + rp1[1] * rad,
+                        -rp1[0] * rad + rp1[1] * leg1]) / d1s
+    left2 = jnp.stack([rp2[0] * leg2 - rp2[1] * rad,
+                       rp2[0] * rad + rp2[1] * leg2]) / d2s
+    right2 = jnp.stack([rp2[0] * leg2 + rp2[1] * rad,
+                        -rp2[0] * rad + rp2[1] * leg2]) / d2s
+
+    left_leg = jnp.where(oblique1, left1, jnp.where(oblique2, left2, left1))
+    right_leg = jnp.where(oblique1, right1, jnp.where(oblique2, right2, right2))
+    same_vertex = oblique1 | oblique2
+    cut_l_pt = jnp.where(oblique2, rp2, rp1)
+    cut_r_pt = jnp.where(oblique1, rp1, rp2)
+
+    left_foreign = det2(left_leg, u_d) >= 0.0
+    right_foreign = det2(right_leg, u_d) <= 0.0
+    left_leg = jnp.where(left_foreign, u_d, left_leg)
+    right_leg = jnp.where(right_foreign, u_d, right_leg)
+
+    left_cutoff = inv_th * cut_l_pt
+    right_cutoff = inv_th * cut_r_pt
+    cutoff_vec = right_cutoff - left_cutoff
+    cutoff_sq = jnp.maximum(dot2(cutoff_vec, cutoff_vec), 1e-18)
+
+    t = jnp.where(same_vertex, 0.5, dot2(vel - left_cutoff, cutoff_vec) / cutoff_sq)
+    t_left = dot2(vel - left_cutoff, left_leg)
+    t_right = dot2(vel - right_cutoff, right_leg)
+
+    proj_left_circle = ((t < 0.0) & (t_left < 0.0)) | (same_vertex & (t_left < 0.0) & (t_right < 0.0))
+    proj_right_circle = (t > 1.0) & (t_right < 0.0)
+
+    unit_w_l = normalize(vel - left_cutoff)
+    unit_w_r = normalize(vel - right_cutoff)
+    dir_lc = jnp.stack([unit_w_l[1], -unit_w_l[0]])
+    dir_rc = jnp.stack([unit_w_r[1], -unit_w_r[0]])
+    pt_lc = left_cutoff + rad * inv_th * unit_w_l
+    pt_rc = right_cutoff + rad * inv_th * unit_w_r
+
+    d_cut = jnp.where((t < 0.0) | (t > 1.0) | same_vertex, _BIG,
+                      dot2(vel - (left_cutoff + t * cutoff_vec),
+                           vel - (left_cutoff + t * cutoff_vec)))
+    d_left = jnp.where(t_left < 0.0, _BIG,
+                       dot2(vel - (left_cutoff + t_left * left_leg),
+                            vel - (left_cutoff + t_left * left_leg)))
+    d_right = jnp.where(t_right < 0.0, _BIG,
+                        dot2(vel - (right_cutoff + t_right * right_leg),
+                             vel - (right_cutoff + t_right * right_leg)))
+
+    use_cut = (d_cut <= d_left) & (d_cut <= d_right)
+    use_left = (~use_cut) & (d_left <= d_right)
+
+    dir_cutline = -u_d
+    pt_cutline = left_cutoff + rad * inv_th * jnp.stack([-dir_cutline[1], dir_cutline[0]])
+    pt_ll = left_cutoff + rad * inv_th * jnp.stack([-left_leg[1], left_leg[0]])
+    dir_rl = -right_leg
+    pt_rl = right_cutoff + rad * inv_th * jnp.stack([right_leg[1], -right_leg[0]])
+
+    nc_dir_pre = jnp.where(use_cut, dir_cutline, jnp.where(use_left, left_leg, dir_rl))
+    nc_pt_pre = jnp.where(use_cut, pt_cutline, jnp.where(use_left, pt_ll, pt_rl))
+    nc_valid = jnp.where(use_cut, True,
+                         jnp.where(use_left, ~left_foreign, ~right_foreign))
+    # projection onto the cutoff circles takes priority over legs/cutline
+    nc_dir = jnp.where(proj_left_circle, dir_lc,
+                       jnp.where(proj_right_circle, dir_rc, nc_dir_pre))
+    nc_pt = jnp.where(proj_left_circle, pt_lc,
+                      jnp.where(proj_right_circle, pt_rc, nc_pt_pre))
+    nc_valid = jnp.where(proj_left_circle | proj_right_circle, True, nc_valid)
+
+    direction = jnp.where(in_collision, dir_coll, nc_dir)
+    point = jnp.where(in_collision, jnp.zeros(2, direction.dtype), nc_pt)
+    valid = jnp.where(in_collision, coll_valid, nc_valid)
+    return point, direction, valid
+
+
 def obstacle_orca_lines(pos, vel, rad, p1, p2, emask, time_horizon_obst):
     """ORCA lines of one acting agent vs. ``E`` padded *directed* obstacle
     edges, with RVO2's sequential already-covered pruning.
@@ -144,127 +267,19 @@ def obstacle_orca_lines(pos, vel, rad, p1, p2, emask, time_horizon_obst):
       (points (E,2), dirs (E,2), valid (E,)).
     """
     inv_th = 1.0 / time_horizon_obst
-    r_sq = rad * rad
-
     unit_dir = normalize(p2 - p1)                     # (E,2) o1.unitDir
 
     def per_edge(i, prev_pts, prev_dirs, prev_valid):
-        rp1 = p1[i] - pos                             # relativePosition1
+        rp1 = p1[i] - pos
         rp2 = p2[i] - pos
-        u_d = unit_dir[i]
-
-        # --- already covered by previously added obstacle lines? ---------
+        # already covered by previously added obstacle lines?
         c1 = det2(inv_th * rp1 - prev_pts, prev_dirs) - inv_th * rad >= -RVO_EPSILON
         c2 = det2(inv_th * rp2 - prev_pts, prev_dirs) - inv_th * rad >= -RVO_EPSILON
         covered = jnp.any(prev_valid & c1 & c2)
 
-        d1_sq = dot2(rp1, rp1)
-        d2_sq = dot2(rp2, rp2)
-        ovec = p2[i] - p1[i]
-        ovec_sq = jnp.maximum(dot2(ovec, ovec), 1e-18)
-        s = dot2(-rp1, ovec) / ovec_sq
-        dline_sq = dot2(-rp1 - s * ovec, -rp1 - s * ovec)
-
-        # --- collision cases (point = 0) ----------------------------------
-        coll_v1 = (s < 0.0) & (d1_sq <= r_sq)
-        coll_v2 = (s > 1.0) & (d2_sq <= r_sq)
-        coll_seg = (s >= 0.0) & (s <= 1.0) & (dline_sq <= r_sq)
-        # 2-gon topology: both endpoints convex; right-vertex case needs
-        # det(rp2, o2.unitDir) >= 0, where o2.unitDir = -u_d (reversed edge).
-        coll_v2_valid = det2(rp2, -u_d) >= 0.0
-        dir_coll_v1 = normalize(jnp.stack([-rp1[1], rp1[0]]))
-        dir_coll_v2 = normalize(jnp.stack([-rp2[1], rp2[0]]))
-        dir_coll_seg = -u_d
-
-        in_collision = coll_v1 | coll_v2 | coll_seg
-        coll_valid = jnp.where(coll_v1, True,
-                               jnp.where(coll_v2, coll_v2_valid, coll_seg))
-        dir_coll = jnp.where(coll_v1, dir_coll_v1,
-                             jnp.where(coll_v2, dir_coll_v2, dir_coll_seg))
-
-        # --- no collision: leg directions ---------------------------------
-        # oblique view cases collapse both endpoints onto one vertex
-        oblique1 = (s < 0.0) & (dline_sq <= r_sq)     # vertex1 alone defines VO
-        oblique2 = (s > 1.0) & (dline_sq <= r_sq)     # vertex2 alone defines VO
-
-        leg1 = jnp.sqrt(jnp.maximum(d1_sq - r_sq, 0.0))
-        leg2 = jnp.sqrt(jnp.maximum(d2_sq - r_sq, 0.0))
-        d1s = jnp.maximum(d1_sq, 1e-18)
-        d2s = jnp.maximum(d2_sq, 1e-18)
-        left1 = jnp.stack([rp1[0] * leg1 - rp1[1] * rad,
-                           rp1[0] * rad + rp1[1] * leg1]) / d1s
-        right1 = jnp.stack([rp1[0] * leg1 + rp1[1] * rad,
-                            -rp1[0] * rad + rp1[1] * leg1]) / d1s
-        left2 = jnp.stack([rp2[0] * leg2 - rp2[1] * rad,
-                           rp2[0] * rad + rp2[1] * leg2]) / d2s
-        right2 = jnp.stack([rp2[0] * leg2 + rp2[1] * rad,
-                            -rp2[0] * rad + rp2[1] * leg2]) / d2s
-
-        # usual case: left leg from vertex1, right leg from vertex2 (both convex)
-        left_leg = jnp.where(oblique1, left1, jnp.where(oblique2, left2, left1))
-        right_leg = jnp.where(oblique1, right1, jnp.where(oblique2, right2, right2))
-        same_vertex = oblique1 | oblique2
-        # cutoff centers: oblique cases use the single defining vertex twice
-        cut_l_pt = jnp.where(oblique2, rp2, rp1)
-        cut_r_pt = jnp.where(oblique1, rp1, rp2)
-
-        # foreign-leg cutoff (2-gon: prev edge dir = -u_d, next edge dir = u_d)
-        left_foreign = det2(left_leg, u_d) >= 0.0
-        right_foreign = det2(right_leg, u_d) <= 0.0
-        left_leg = jnp.where(left_foreign, u_d, left_leg)
-        right_leg = jnp.where(right_foreign, u_d, right_leg)
-
-        left_cutoff = inv_th * cut_l_pt
-        right_cutoff = inv_th * cut_r_pt
-        cutoff_vec = right_cutoff - left_cutoff
-        cutoff_sq = jnp.maximum(dot2(cutoff_vec, cutoff_vec), 1e-18)
-
-        t = jnp.where(same_vertex, 0.5, dot2(vel - left_cutoff, cutoff_vec) / cutoff_sq)
-        t_left = dot2(vel - left_cutoff, left_leg)
-        t_right = dot2(vel - right_cutoff, right_leg)
-
-        proj_left_circle = ((t < 0.0) & (t_left < 0.0)) | (same_vertex & (t_left < 0.0) & (t_right < 0.0))
-        proj_right_circle = (t > 1.0) & (t_right < 0.0)
-
-        unit_w_l = normalize(vel - left_cutoff)
-        unit_w_r = normalize(vel - right_cutoff)
-        dir_lc = jnp.stack([unit_w_l[1], -unit_w_l[0]])
-        dir_rc = jnp.stack([unit_w_r[1], -unit_w_r[0]])
-        pt_lc = left_cutoff + rad * inv_th * unit_w_l
-        pt_rc = right_cutoff + rad * inv_th * unit_w_r
-
-        # distances to cutoff line / legs (inf when the projection is out of range)
-        d_cut = jnp.where((t < 0.0) | (t > 1.0) | same_vertex, _BIG,
-                          dot2(vel - (left_cutoff + t * cutoff_vec),
-                               vel - (left_cutoff + t * cutoff_vec)))
-        d_left = jnp.where(t_left < 0.0, _BIG,
-                           dot2(vel - (left_cutoff + t_left * left_leg),
-                                vel - (left_cutoff + t_left * left_leg)))
-        d_right = jnp.where(t_right < 0.0, _BIG,
-                            dot2(vel - (right_cutoff + t_right * right_leg),
-                                 vel - (right_cutoff + t_right * right_leg)))
-
-        use_cut = (d_cut <= d_left) & (d_cut <= d_right)
-        use_left = (~use_cut) & (d_left <= d_right)
-        use_right = (~use_cut) & (~use_left)
-
-        dir_cutline = -u_d
-        pt_cutline = left_cutoff + rad * inv_th * jnp.stack([-dir_cutline[1], dir_cutline[0]])
-        dir_ll = left_leg
-        pt_ll = left_cutoff + rad * inv_th * jnp.stack([-left_leg[1], left_leg[0]])
-        dir_rl = -right_leg
-        pt_rl = right_cutoff + rad * inv_th * jnp.stack([right_leg[1], -right_leg[0]])
-
-        nc_dir = jnp.where(use_cut, dir_cutline, jnp.where(use_left, dir_ll, dir_rl))
-        nc_pt = jnp.where(use_cut, pt_cutline, jnp.where(use_left, pt_ll, pt_rl))
-        nc_valid = jnp.where(use_cut, True,
-                             jnp.where(use_left, ~left_foreign, ~right_foreign))
-
-        direction = jnp.where(in_collision, dir_coll, nc_dir)
-        point = jnp.where(in_collision, jnp.zeros(2, direction.dtype), nc_pt)
-        valid = jnp.where(in_collision, coll_valid, nc_valid)
-        valid = valid & emask[i] & ~covered
-        return point, direction, valid
+        point, direction, valid = edge_orca_line(pos, vel, rad, p1[i], p2[i],
+                                                 inv_th)
+        return point, direction, valid & emask[i] & ~covered
 
     E = p1.shape[0]
 
