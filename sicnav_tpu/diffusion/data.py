@@ -1,0 +1,147 @@
+"""Trajectory dataset construction for JMID/iMID training.
+
+Replaces the reference's pandas/dill pipeline (JMID/MID/process_data.py,
+dataset/preprocessing.py) with array building: scenes are (A, T, 2) position
+tracks with validity masks, converted into fixed-shape training examples
+(history [pos, vel, acc], future velocities, neighbor masks, scene
+rotation augmentation). Works on sim rollouts (batched env trajectories)
+and on ETH/UCY-format text files.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, NamedTuple
+
+import numpy as np
+
+ATTENTION_RADIUS = 3.0
+
+
+def derivative_of(x, dt):
+    """Finite-difference derivative with repeated first element
+    (environment/node.py derivative_of parity)."""
+    if x.shape[-1] < 2:
+        return np.zeros_like(x)
+    dx = np.diff(x, axis=-1) / dt
+    return np.concatenate([dx[..., :1], dx], axis=-1)
+
+
+class SceneBatch(NamedTuple):
+    """One training example: a scene at one prediction timestep.
+
+    hist: (A, T_h, 6) raw [px, py, vx, vy, ax, ay]
+    hist_mask: (A, T_h) frames that exist
+    fut_vel: (A, T_f, 2) raw future velocities (diffusion target, y_t)
+    fut_mask: (A, T_f)
+    agent_mask: (A,) agents present at the prediction time
+    neighbor_mask: (A, A) [target, neighbor] adjacency (attention radius)
+    """
+    hist: np.ndarray
+    hist_mask: np.ndarray
+    fut_vel: np.ndarray
+    fut_mask: np.ndarray
+    agent_mask: np.ndarray
+    neighbor_mask: np.ndarray
+
+
+def tracks_to_state(pos, valid, dt):
+    """(A, T, 2) positions -> (A, T, 6) [pos, vel, acc] via finite diff."""
+    vel = np.stack([derivative_of(pos[..., 0], dt),
+                    derivative_of(pos[..., 1], dt)], axis=-1)
+    acc = np.stack([derivative_of(vel[..., 0], dt),
+                    derivative_of(vel[..., 1], dt)], axis=-1)
+    state = np.concatenate([pos, vel, acc], axis=-1)
+    return np.where(valid[..., None], state, 0.0)
+
+
+def build_examples(pos, valid, dt, history_len=6, horizon=8, max_agents=None,
+                   stride=1):
+    """Slice a scene's tracks into per-timestep SceneBatch examples.
+
+    pos: (A, T, 2); valid: (A, T) bool.
+    """
+    A, T, _ = pos.shape
+    if max_agents is None:
+        max_agents = A
+    state = tracks_to_state(pos, valid, dt)
+    out = []
+    for t in range(history_len - 1, T - horizon, stride):
+        h_sl = slice(t - history_len + 1, t + 1)
+        f_sl = slice(t + 1, t + 1 + horizon)
+        agent_mask = valid[:, t].copy()
+        if agent_mask.sum() == 0:
+            continue
+        hist = state[:, h_sl]
+        hist_mask = valid[:, h_sl]
+        fut_vel = state[:, f_sl, 2:4]
+        fut_mask = valid[:, f_sl]
+        cur = pos[:, t]
+        d = np.linalg.norm(cur[:, None] - cur[None, :], axis=-1)
+        neighbor_mask = (d < ATTENTION_RADIUS) & agent_mask[:, None] & \
+            agent_mask[None, :] & ~np.eye(A, dtype=bool)
+
+        def pad(x, fill=0.0):
+            if x.shape[0] >= max_agents:
+                return x[:max_agents]
+            padw = [(0, max_agents - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+            return np.pad(x, padw, constant_values=fill)
+
+        out.append(SceneBatch(
+            hist=pad(hist).astype(np.float32),
+            hist_mask=pad(hist_mask).astype(bool),
+            fut_vel=pad(fut_vel).astype(np.float32),
+            fut_mask=pad(fut_mask).astype(bool),
+            agent_mask=pad(agent_mask).astype(bool),
+            neighbor_mask=pad(pad(neighbor_mask).T).T.astype(bool)))
+    return out
+
+
+def rotate_scene(batch: SceneBatch, theta: float) -> SceneBatch:
+    """Rotation augmentation (preprocessing.augment_scene:304)."""
+    c, s = np.cos(theta), np.sin(theta)
+    R = np.array([[c, -s], [s, c]], np.float32)
+
+    def rot(x):
+        return x @ R.T
+
+    hist = batch.hist.copy()
+    hist[..., 0:2] = rot(hist[..., 0:2])
+    hist[..., 2:4] = rot(hist[..., 2:4])
+    hist[..., 4:6] = rot(hist[..., 4:6])
+    return batch._replace(hist=hist, fut_vel=rot(batch.fut_vel))
+
+
+def stack_batches(examples: List[SceneBatch]) -> SceneBatch:
+    return SceneBatch(*[np.stack([getattr(e, f) for e in examples])
+                        for f in SceneBatch._fields])
+
+
+def scenes_from_env_rollout(traj_states, human_only=True):
+    """Extract (A, T, 2) position tracks + validity from a stacked rollout
+    SimState (time axis leading)."""
+    pos = np.asarray(traj_states.h_pos)                     # (T, H, 2)
+    mask = np.asarray(traj_states.h_mask)                   # (T, H)
+    if not human_only:
+        rpos = np.asarray(traj_states.r_pos)[:, None, :]
+        pos = np.concatenate([pos, rpos], axis=1)
+        mask = np.concatenate([mask, np.ones_like(mask[:, :1])], axis=1)
+    return pos.transpose(1, 0, 2), mask.T
+
+
+def load_ethucy_txt(path, dt=0.4):
+    """ETH/UCY raw format: frame_id, ped_id, x, y (whitespace separated;
+    process_data.py source handling). Returns (pos (A, T, 2), valid (A, T))."""
+    raw = np.loadtxt(path)
+    frames = np.unique(raw[:, 0]).astype(int)
+    peds = np.unique(raw[:, 1]).astype(int)
+    f_idx = {f: i for i, f in enumerate(frames)}
+    p_idx = {p: i for i, p in enumerate(peds)}
+    pos = np.zeros((len(peds), len(frames), 2), np.float32)
+    valid = np.zeros((len(peds), len(frames)), bool)
+    for row in raw:
+        i = p_idx[int(row[1])]
+        j = f_idx[int(row[0])]
+        pos[i, j] = row[2:4]
+        valid[i, j] = True
+    return pos, valid

@@ -1,0 +1,76 @@
+"""Prediction metrics: ADE / FDE (min-of-k & most-likely), KDE-NLL,
+scene-level SADE / SFDE.
+
+Port of sicnav_diffusion/JMID/MID/evaluation/evaluation.py (compute_ade:11,
+compute_fde:31, compute_kde_nll:191, scene metrics inside
+compute_batch_statistics:456) as batched JAX reductions.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from sicnav_tpu.diffusion.kde import _kde_loglik
+
+
+def ade(pred, gt, mask=None):
+    """pred: (S, T, 2) samples; gt: (T, 2). Returns per-sample ADE (S,)."""
+    err = jnp.linalg.norm(pred - gt[None], axis=-1)           # (S, T)
+    if mask is not None:
+        w = mask.astype(err.dtype)
+        return jnp.sum(err * w[None], axis=-1) / jnp.maximum(jnp.sum(w), 1.0)
+    return jnp.mean(err, axis=-1)
+
+
+def fde(pred, gt, mask=None):
+    """Final displacement error per sample (S,)."""
+    if mask is not None:
+        last = jnp.maximum(jnp.sum(mask.astype(jnp.int32)) - 1, 0)
+    else:
+        last = pred.shape[-2] - 1
+    return jnp.linalg.norm(pred[:, last] - gt[last][None], axis=-1)
+
+
+def min_ade_fde(pred, gt, mask=None):
+    """Best-of-k ADE / FDE (reference min_ade/min_fde)."""
+    return jnp.min(ade(pred, gt, mask)), jnp.min(fde(pred, gt, mask))
+
+
+def kde_nll(pred, gt):
+    """Per-timestep Gaussian-KDE negative log likelihood of the ground truth
+    under the sample distribution (compute_kde_nll:191), averaged over T.
+
+    pred: (S, T, 2); gt: (T, 2)."""
+    S, T, _ = pred.shape
+    preds = jnp.transpose(pred, (1, 0, 2))                    # (T, S, 2)
+    # KDE with Scott's-rule-ish fixed bandwidth as in the reference's
+    # scipy.gaussian_kde default: bw = n^(-1/(d+4))
+    bw = S ** (-1.0 / 6.0)
+    # evaluate loglik of gt under KDE of samples per timestep
+    mean = jnp.mean(preds, axis=1, keepdims=True)
+    diff = preds - mean
+    cov = jnp.einsum("tsd,tse->tde", diff, diff) / (S - 1)
+    cov = bw ** 2 * cov + jnp.eye(2) * 1e-9
+    cov_inv = jnp.linalg.inv(cov)
+    logdet = jnp.linalg.slogdet(cov)[1]
+    d = gt[:, None, :] - preds                                # (T, S, 2)
+    mahal = jnp.einsum("tsd,tde,tse->ts", d, cov_inv, d)
+    log_kernel = -0.5 * mahal - 0.5 * (2 * jnp.log(2 * jnp.pi) + logdet)[:, None]
+    ll = jax.scipy.special.logsumexp(log_kernel, axis=1) - jnp.log(S)
+    ll = jnp.clip(ll, -20.0, None)  # reference lower-bounds the pdf
+    return -jnp.mean(ll)
+
+
+def scene_ade_fde(pred, gt, agent_mask):
+    """Scene-consistent SADE/SFDE: errors averaged over agents per joint
+    sample BEFORE taking the min over samples (mid.py:202-235 semantics).
+
+    pred: (S, A, T, 2); gt: (A, T, 2); agent_mask: (A,)."""
+    err = jnp.linalg.norm(pred - gt[None], axis=-1)           # (S, A, T)
+    w = agent_mask.astype(err.dtype)
+    sade = jnp.sum(jnp.mean(err, axis=-1) * w[None], axis=-1) / \
+        jnp.maximum(jnp.sum(w), 1.0)
+    sfde = jnp.sum(err[..., -1] * w[None], axis=-1) / jnp.maximum(jnp.sum(w), 1.0)
+    best = jnp.argmin(sade)
+    return sade[best], sfde[best]

@@ -1,0 +1,252 @@
+"""Flax models for JMID/iMID: Trajectron-style encoder + transformer denoisers.
+
+Re-designed from the reference PyTorch stack:
+- encoder (sicnav_diffusion/JMID/MID/models/encoders/mgcvae.py): node-history
+  LSTM (dim 128) + sum-combined neighbor-edge LSTM (dim 128) + additive
+  attention over edge types -> 256-d context. As in the reference's MID use,
+  the CVAE discrete latent is NOT part of the conditioning
+  (mgcvae.get_latent:1266-1325 returns only x).
+- denoisers (models/diffusion.py:112-209): ConcatSquashLinear in/out layers
+  conditioned on [beta, sin beta, cos beta, context], a post-norm
+  transformer over horizon tokens (iMID) or over agents x horizon tokens
+  with block-diagonal scene masks (JMID).
+
+Fixed shapes with masks throughout: a batch is (B, A, T, D) padded agents.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# standardization (process_data.py:19-25 + preprocessing.get_node_timestep_data:
+# position std <- attention radius, relative to the node's current position)
+ATTENTION_RADIUS = 3.0
+STATE_STD = np.array([ATTENTION_RADIUS, ATTENTION_RADIUS, 2.0, 2.0, 1.0, 1.0],
+                     np.float32)
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    context_dim: int = 256          # encoder_dim in the yaml configs
+    enc_rnn_dim: int = 128          # history / edge LSTM size
+    tf_layer: int = 3
+    n_heads: int = 4
+    state_dim: int = 6              # pos, vel, acc
+    pred_dim: int = 2               # velocity
+    history_len: int = 6            # max_ht + 1 frames of history (incl now)
+    horizon: int = 8
+    dropout: float = 0.1
+    rnn_dropout: float = 0.25       # 1 - dropout_keep_prob
+
+
+class _MaskedLSTMCell(nn.Module):
+    """LSTM cell that holds its state through padding frames."""
+    hidden: int
+
+    @nn.compact
+    def __call__(self, carry, xs):
+        x_t, m_t = xs
+        new_carry, y = nn.OptimizedLSTMCell(self.hidden)(carry, x_t)
+        carry = jax.tree.map(
+            lambda n, o: jnp.where(m_t[:, None], n, o), new_carry, carry)
+        return carry, y
+
+
+class LSTMEncoder(nn.Module):
+    """LSTM over (T, D) sequences with a first-valid-index mask; returns the
+    hidden state after the last (current) frame
+    (run_lstm_on_variable_length_seqs equivalent)."""
+    hidden: int
+
+    @nn.compact
+    def __call__(self, seq, valid_mask):
+        # seq: (..., T, D); valid_mask: (..., T) — True where the frame exists
+        B_shape = seq.shape[:-2]
+        T = seq.shape[-2]
+        flat = seq.reshape((-1, T, seq.shape[-1]))
+        vmask = valid_mask.reshape((-1, T))
+
+        ScanCell = nn.scan(_MaskedLSTMCell, variable_broadcast="params",
+                           split_rngs={"params": False, "dropout": False},
+                           in_axes=1, out_axes=1)
+        cell = ScanCell(self.hidden)
+        carry = nn.OptimizedLSTMCell(self.hidden, parent=None).initialize_carry(
+            jax.random.PRNGKey(0), flat[:, 0].shape)
+        carry, _ = cell(carry, (flat, vmask))
+        out = carry[1]
+        return out.reshape(B_shape + (self.hidden,))
+
+
+class AdditiveAttention(nn.Module):
+    """Bahdanau additive attention (components/additive_attention.py)."""
+    hidden: int
+
+    @nn.compact
+    def __call__(self, keys, query, mask=None):
+        # keys: (..., N, D_k), query: (..., D_q)
+        w1 = nn.Dense(self.hidden, use_bias=False)
+        w2 = nn.Dense(self.hidden, use_bias=False)
+        v = nn.Dense(1, use_bias=False)
+        scores = v(jnp.tanh(w1(keys) + w2(query)[..., None, :]))[..., 0]
+        if mask is not None:
+            scores = jnp.where(mask, scores, -1e9)
+        attn = jax.nn.softmax(scores, axis=-1)
+        return jnp.sum(attn[..., None] * keys, axis=-2), attn
+
+
+class TrajectronEncoder(nn.Module):
+    """History + edge encoder producing the diffusion conditioning context.
+
+    Inputs (per target agent):
+      hist: (..., T_h, 6) standardized state history
+      hist_mask: (..., T_h)
+      neigh_hist: (..., N, T_h, 6) standardized neighbor histories
+      neigh_mask: (..., N) which neighbor slots exist
+    Output: (..., 2 * enc_rnn_dim) context.
+    """
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, hist, hist_mask, neigh_hist, neigh_mask,
+                 deterministic: bool = True):
+        cfg = self.cfg
+        # node history encoder
+        h_enc = LSTMEncoder(cfg.enc_rnn_dim, name="history_lstm")(
+            hist, hist_mask)
+        h_enc = nn.Dropout(cfg.rnn_dropout, deterministic=deterministic)(h_enc)
+
+        # edge: sum-combine neighbor states over the slot axis, gated by mask
+        combined = jnp.sum(jnp.where(neigh_mask[..., None, None],
+                                     neigh_hist, 0.0), axis=-3)
+        joint = jnp.concatenate([combined, hist], axis=-1)
+        e_enc = LSTMEncoder(cfg.enc_rnn_dim, name="edge_lstm")(
+            joint, hist_mask)
+        # dynamic-edge mask: zero influence when no neighbors at all
+        has_neigh = jnp.any(neigh_mask, axis=-1)
+        e_enc = e_enc * has_neigh[..., None]
+        e_enc = nn.Dropout(cfg.rnn_dropout, deterministic=deterministic)(e_enc)
+
+        # edge influence: additive attention over edge types (one type here,
+        # structure kept for parity with edge_influence_combine='attention')
+        e_infl, _ = AdditiveAttention(cfg.enc_rnn_dim, name="edge_attention")(
+            e_enc[..., None, :], h_enc)
+        e_infl = nn.Dropout(cfg.rnn_dropout, deterministic=deterministic)(e_infl)
+
+        return jnp.concatenate([e_infl, h_enc], axis=-1)
+
+
+class ConcatSquashLinear(nn.Module):
+    """out = W x * sigmoid(W_g ctx) + W_b ctx (models/common.py)."""
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, ctx, x):
+        lin = nn.Dense(self.out_dim, name="layer")(x)
+        gate = jax.nn.sigmoid(nn.Dense(self.out_dim, name="hyper_gate")(ctx))
+        bias = nn.Dense(self.out_dim, use_bias=False, name="hyper_bias")(ctx)
+        return lin * gate + bias
+
+
+def positional_encoding(T, d_model, dtype=jnp.float32):
+    pos = np.arange(T)[:, None]
+    div = np.exp(np.arange(0, d_model, 2) * (-np.log(10000.0) / d_model))
+    pe = np.zeros((T, d_model), np.float32)
+    pe[:, 0::2] = np.sin(pos * div)
+    pe[:, 1::2] = np.cos(pos * div)
+    return jnp.asarray(pe, dtype)
+
+
+class TransformerEncoderLayer(nn.Module):
+    """Post-norm encoder layer (torch nn.TransformerEncoderLayer default)."""
+    d_model: int
+    n_heads: int
+    d_ff: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, mask=None, deterministic=True):
+        attn = nn.MultiHeadDotProductAttention(
+            num_heads=self.n_heads, qkv_features=self.d_model,
+            dropout_rate=self.dropout, deterministic=deterministic)(
+            x, x, mask=mask)
+        x = nn.LayerNorm()(x + nn.Dropout(self.dropout, deterministic=deterministic)(attn))
+        ff = nn.Dense(self.d_ff)(x)
+        ff = nn.relu(ff)
+        ff = nn.Dropout(self.dropout, deterministic=deterministic)(ff)
+        ff = nn.Dense(self.d_model)(ff)
+        x = nn.LayerNorm()(x + nn.Dropout(self.dropout, deterministic=deterministic)(ff))
+        return x
+
+
+class TransformerConcatLinear(nn.Module):
+    """iMID denoiser (diffusion.py:112-150): per-agent, tokens = horizon."""
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, x, beta, context, deterministic=True):
+        # x: (B, T, 2); beta: (B,); context: (B, F)
+        cfg = self.cfg
+        d = 2 * cfg.context_dim
+        b = beta[:, None, None]
+        time_emb = jnp.concatenate([b, jnp.sin(b), jnp.cos(b)], axis=-1)
+        ctx = jnp.concatenate([time_emb, context[:, None, :]], axis=-1)
+
+        h = ConcatSquashLinear(d, name="concat1")(ctx, x)
+        h = h + positional_encoding(h.shape[1], d)[None]
+        for i in range(cfg.tf_layer):
+            h = TransformerEncoderLayer(d, cfg.n_heads, 4 * cfg.context_dim,
+                                        cfg.dropout, name=f"tf_{i}")(
+                h, deterministic=deterministic)
+        h = ConcatSquashLinear(cfg.context_dim, name="concat3")(ctx, h)
+        h = ConcatSquashLinear(cfg.context_dim // 2, name="concat4")(ctx, h)
+        return ConcatSquashLinear(cfg.pred_dim, name="linear")(ctx, h)
+
+
+class JointTransformerConcatLinear(nn.Module):
+    """JMID denoiser (diffusion.py:153-209): attention runs across all
+    (agent x horizon) tokens of a scene with a block-diagonal mask."""
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, x, beta, context, scene_mask, deterministic=True):
+        # x: (A, T, 2); beta: (A,); context: (A, F)
+        # scene_mask: (A*T, A*T) bool attention mask (True = attend)
+        cfg = self.cfg
+        d = 2 * cfg.context_dim
+        A, T, _ = x.shape
+        b = beta[:, None, None]
+        time_emb = jnp.concatenate([b, jnp.sin(b), jnp.cos(b)], axis=-1)
+        ctx = jnp.concatenate([time_emb, context[:, None, :]], axis=-1)
+
+        h = ConcatSquashLinear(d, name="concat1")(ctx, x)
+        h = h + positional_encoding(T, d)[None]
+        h = h.reshape(1, A * T, d)
+        mask = scene_mask[None, None]                  # (1, 1, A*T, A*T)
+        for i in range(cfg.tf_layer):
+            h = TransformerEncoderLayer(d, cfg.n_heads, 4 * cfg.context_dim,
+                                        cfg.dropout, name=f"tf_{i}")(
+                h, mask=mask, deterministic=deterministic)
+        h = h.reshape(A, T, d)
+        h = ConcatSquashLinear(cfg.context_dim, name="concat3")(ctx, h)
+        h = ConcatSquashLinear(cfg.context_dim // 2, name="concat4")(ctx, h)
+        return ConcatSquashLinear(cfg.pred_dim, name="linear")(ctx, h)
+
+
+def standardize_history(hist_raw, current_pos):
+    """(..., T, 6) raw [pos, vel, acc] -> standardized: positions relative to
+    ``current_pos`` over attention radius; vel/2; acc/1."""
+    mean = jnp.concatenate([current_pos, jnp.zeros_like(current_pos),
+                            jnp.zeros_like(current_pos)], axis=-1)
+    return (hist_raw - mean[..., None, :]) / STATE_STD
+
+
+def integrate_velocity_samples(vel, p0, dt):
+    """Single-integrator sample integration (dynamics/single_integrator.py
+    integrate_samples): positions = p0 + cumsum(vel) * dt."""
+    return p0[..., None, :] + jnp.cumsum(vel, axis=-2) * dt

@@ -69,12 +69,20 @@ def step(state: SimState, action: jnp.ndarray, cfg: EnvConfig
 
     Parity: CrowdSimPlus.step with update=True (crowd_sim_plus.py:1025-1257).
     """
+    h_act = human_actions(state, cfg)                      # (H, 2)
+    return step_with_human_actions(state, action, h_act, cfg)
+
+
+def step_with_human_actions(state: SimState, action: jnp.ndarray,
+                            h_act: jnp.ndarray, cfg: EnvConfig
+                            ) -> Tuple[SimState, jnp.ndarray, StepInfo]:
+    """Step with precomputed (unclamped) human actions — lets the RL
+    lookahead evaluate all discrete robot actions against ONE human-policy
+    evaluation (the humans don't react to the robot within a step;
+    crowd_sim_plus.py step(update=False) recomputes them identically)."""
     rc = cfg.rewards
     dt = cfg.dt
     H = cfg.max_humans
-
-    # --- 1. human policies on the current state ---------------------------
-    h_act = human_actions(state, cfg)                      # (H, 2)
 
     # --- 2. clamp every human action against the walls --------------------
     def clamp_h(pos, act, rad):

@@ -110,9 +110,10 @@ def campc_action(ocp: OCP, state: SimState, carry: CAMPCCarry,
     cfg = ocp.cfg
     params = build_params(ocp, state, env_cfg)
 
-    z_fresh = WS.warmstart_horizon(ocp, params)
+    z_fresh = ocp.infer_slacks(WS.warmstart_horizon(ocp, params), params)
     z_shift = _shift_guess(ocp, jnp.where(carry.has_prev, carry.z_prev,
                                           z_fresh), params)
+    z_shift = ocp.infer_slacks(z_shift, params)
     z_guess = jnp.where(carry.has_prev, z_shift, z_fresh)
     z_guess = jnp.where(jnp.all(jnp.isfinite(z_guess)), z_guess, z_fresh)
 

@@ -38,7 +38,7 @@ class IPMSettings:
     delta_max: float = 1e4
     delta_min: float = 1e-8
     reg_eq: float = 1e-8        # dual regularization of the eq block
-    alphas: tuple = (1.0, 0.5, 0.25, 0.1, 0.03)
+    alphas: tuple = (1.0, 0.5, 0.25, 0.1, 0.03, 0.01, 0.003)
     exact_hessian: bool = True
 
 
@@ -65,7 +65,8 @@ def _merit(f_val, c_e, c_i, s, mu, nu):
 
 
 def solve(f_fn: Callable, ceq_fn: Callable, cineq_fn: Callable,
-          z0: jnp.ndarray, settings: IPMSettings = IPMSettings()):
+          z0: jnp.ndarray, settings: IPMSettings = IPMSettings(),
+          return_trace: bool = False, return_duals: bool = False):
     """Solve one NLP. All fns map z -> value(s). Returns (z, IPMInfo).
 
     vmap over a batch axis of z0 (with closures over batched params via
@@ -93,7 +94,8 @@ def solve(f_fn: Callable, ceq_fn: Callable, cineq_fn: Callable,
     hess_l = jax.hessian(lagrangian) if st.exact_hessian else jax.hessian(f_fn)
 
     s0 = jnp.maximum(-c_i0, 1e-2).astype(dtype)
-    lam0 = jnp.full((m_i,), st.lam_init, dtype)
+    # complementarity-consistent multiplier init: s_i * lam_i = mu_init
+    lam0 = jnp.clip(st.mu_init / s0, 1e-6, 1e3).astype(dtype)
     y0 = jnp.zeros((m_e,), dtype)
 
     def step(state: IPMState, _):
@@ -177,12 +179,15 @@ def solve(f_fn: Callable, ceq_fn: Callable, cineq_fn: Callable,
 
         new_state = IPMState(z_new, y_new, lam_new, s_new, delta_new,
                              merits[best])
-        return new_state, None
+        trace = (f_val, merits[best], alpha, mu, delta,
+                 jnp.max(jnp.abs(c_e), initial=0.0),
+                 jnp.max(jnp.maximum(c_i, 0.0), initial=0.0))
+        return new_state, trace
 
     init = IPMState(z0, y0, lam0, s0,
                     jnp.asarray(st.delta_init, dtype),
                     jnp.asarray(jnp.inf, dtype))
-    final, _ = jax.lax.scan(step, init, None, length=st.n_iter)
+    final, trace = jax.lax.scan(step, init, None, length=st.n_iter)
 
     c_e = ceq_fn(final.z) if m_e else jnp.zeros((0,), dtype)
     c_i = cineq_fn(final.z)
@@ -191,4 +196,10 @@ def solve(f_fn: Callable, ceq_fn: Callable, cineq_fn: Callable,
         eq_viol=jnp.max(jnp.abs(c_e), initial=0.0),
         ineq_viol=jnp.max(jnp.maximum(c_i, 0.0), initial=0.0),
         comp=jnp.dot(final.s, final.lam) / m_i)
+    if return_trace and return_duals:
+        return final.z, info, trace, (final.y, final.lam, final.s)
+    if return_trace:
+        return final.z, info, trace
+    if return_duals:
+        return final.z, info, (final.y, final.lam, final.s)
     return final.z, info

@@ -347,21 +347,21 @@ class OCP:
         res = jax.vmap(stage)(jnp.arange(cfg.K_orca))
         return res.ravel()
 
-    def ineq_residuals(self, z, params: MPCParams):
-        """All inequality rows (<= 0), slack-shifted."""
+    def _ineq_groups(self, z, params: MPCParams):
+        """Raw (un-slack-shifted) inequality rows grouped by constraint
+        class. Returns dict name -> rows (class slack broadcasting shape
+        kept in the trailing axes)."""
         cfg = self.cfg
         K, Ko, H, W = cfg.K, cfg.K_orca, cfg.num_hums, cfg.num_walls
-        sc = SLACK_SCALING
         u_rob, u_hums, lam, slacks = self.unpack(z)
         X_rob, X_hums = self.rollout(params, u_rob, u_hums)
-        rows = []
+        g = {}
 
         # robot-human collision, stages 0..K (mpc_env.get_mpc_coll_constraints)
         comb = (params.hum_coll_radii + params.rob_radius +
                 cfg.rob_rad_buffer + 0.01)               # (H,)
         d = X_rob[:, None, :2] - X_hums[:, :, :2]        # (K+1, H, 2)
-        coll = -(jnp.sum(d * d, -1) - comb[None, :] ** 2)
-        rows.append((coll - sc * slacks.coll[None, :]).ravel())
+        g["coll"] = -(jnp.sum(d * d, -1) - comb[None, :] ** 2)   # (K+1, H)
 
         # robot-wall capsule, stages 0..K; buffer rule (mpc_env.py:364-375)
         rob_r = params.rob_radius
@@ -380,14 +380,13 @@ class OCP:
             val = -(jnp.sum(dvec * dvec, -1) - comb_rad ** 2)
             return jnp.where(wmask, val, -1.0)           # inactive padded walls
 
-        stat = jax.vmap(wall_rows)(params.walls, params.wall_mask)  # (W, K+1)
-        rows.append((stat - sc * slacks.stat).ravel())
+        g["stat"] = jax.vmap(wall_rows)(params.walls, params.wall_mask)  # (W, K+1)
 
         # robot input bounds (mpc_env.get_kin_bound_constraint)
         lb = jnp.array([-cfg.max_rev_speed, -cfg.max_rot + 0.001])
         ub = jnp.array([cfg.max_speed, cfg.max_rot])
-        rows.append(((u_rob - ub[None]) - sc * slacks.bound).ravel())
-        rows.append(((lb[None] - u_rob) - sc * slacks.bound).ravel())
+        g["bound"] = jnp.concatenate([(u_rob - ub[None]).ravel(),
+                                      (lb[None] - u_rob).ravel()])
 
         # accel constraints (mpc_env.get_kin_acc_constraint)
         v_prev = X_rob[:K, 3]
@@ -397,48 +396,91 @@ class OCP:
         low_b = jnp.maximum(cfg.max_l_dcc * cfg.dt, -jnp.abs(v_prev))
         lower = -diff + low_b
         sign = -jnp.sign(v_prev) * v_u - 1e-5
-        acc = jnp.stack([upper, lower, sign], -1)        # (K, 3)
-        rows.append((acc - sc * slacks.acc).ravel())
+        g["acc"] = jnp.stack([upper, lower, sign], -1)   # (K, 3)
 
         if cfg.kkt:
             # human maxvel + ksi rows over the full horizon K (on repeated u)
-            def uh_all(k):
-                return self.u_hums_at(u_hums, k)
-            uh_full = jax.vmap(uh_all)(jnp.arange(K))    # (K, H, 3)
+            uh_full = jax.vmap(lambda k: self.u_hums_at(u_hums, k))(
+                jnp.arange(K))                           # (K, H, 3)
             sv, sk = cfg.orca_vxy_scaling, cfg.orca_ksi_scaling
             vmag2 = jnp.sum((sv * uh_full[:, :, :2]) ** 2, -1)
-            maxvel = vmag2 - params.v_max_prefs[None, :] ** 2
-            rows.append((maxvel - sc * slacks.maxvel[None, :]).ravel())
+            g["maxvel"] = vmag2 - params.v_max_prefs[None, :] ** 2   # (K, H)
             _, _, ksi_vx, ksi_vy = self.jitter
-            ksi_rows = (ksi_vx[None, :] * sv * uh_full[:, :, 0] +
+            g["ksi"] = (ksi_vx[None, :] * sv * uh_full[:, :, 0] +
                         ksi_vy[None, :] * sv * uh_full[:, :, 1] -
-                        sk * uh_full[:, :, 2])
-            rows.append((ksi_rows - sc * slacks.ksi[None, :]).ravel())
+                        sk * uh_full[:, :, 2])           # (K, H)
 
-            # KKT inequality block: primal feasibility g <= 0, dual feas -lam <= 0
+            # KKT inequality block: primal feas g <= 0, dual feas -lam <= 0
             def kkt_stage(k):
                 xr, xh = X_rob[k], X_hums[k]
 
                 def per_hum(a):
-                    g = self.human_orca_g(params, xr, xh, u_hums[k, a], a)
-                    block = jnp.concatenate([g, -lam[k, a]])
-                    return block - sc * slacks.kkt_ineq[a]
+                    gg = self.human_orca_g(params, xr, xh, u_hums[k, a], a)
+                    return jnp.concatenate([gg, -lam[k, a]])
 
                 return jax.vmap(per_hum)(jnp.arange(H))
 
-            kkt_in = jax.vmap(kkt_stage)(jnp.arange(Ko))
-            rows.append(kkt_in.ravel())
+            g["kkt"] = jax.vmap(kkt_stage)(jnp.arange(Ko))  # (Ko, H, 2*n_lam)
+        return g
 
+    def ineq_residuals(self, z, params: MPCParams):
+        """All inequality rows (<= 0), slack-shifted."""
+        cfg = self.cfg
+        sc = SLACK_SCALING
+        _, _, _, slacks = self.unpack(z)
+        g = self._ineq_groups(z, params)
+        rows = [
+            (g["coll"] - sc * slacks.coll[None, :]).ravel(),
+            (g["stat"] - sc * slacks.stat).ravel(),
+            (g["bound"] - sc * slacks.bound).ravel(),
+            (g["acc"] - sc * slacks.acc).ravel(),
+        ]
+        if cfg.kkt:
+            rows += [
+                (g["maxvel"] - sc * slacks.maxvel[None, :]).ravel(),
+                (g["ksi"] - sc * slacks.ksi[None, :]).ravel(),
+                (g["kkt"] - sc * slacks.kkt_ineq[None, :, None]).ravel(),
+            ]
         if cfg.soft_constraints:
-            # slack nonnegativity (eq slacks are free)
-            rows.append(-slacks.coll)
-            rows.append(-slacks.stat[None])
-            rows.append(-slacks.bound[None])
-            rows.append(-slacks.maxvel)
-            rows.append(-slacks.ksi)
-            rows.append(-slacks.acc[None])
-            rows.append(-slacks.kkt_ineq)
+            rows += [-slacks.coll, -slacks.stat[None], -slacks.bound[None],
+                     -slacks.maxvel, -slacks.ksi, -slacks.acc[None],
+                     -slacks.kkt_ineq]
         return jnp.concatenate(rows)
+
+    def infer_slacks(self, z, params: MPCParams):
+        """Honest slack values for a primal guess: per-class maximum raw
+        violation (the reference initializes slacks the same way via
+        get_slackvar_initializer, campc.py:286,301,...)."""
+        cfg = self.cfg
+        u_rob, u_hums, lam, _ = self.unpack(z)
+        g = self._ineq_groups(z, params)
+        sc = SLACK_SCALING
+
+        def pos_max(x, axis=None):
+            return jnp.maximum(jnp.max(x, axis=axis), 0.0) / sc
+
+        slacks = Slacks(
+            coll=pos_max(g["coll"], axis=0),
+            stat=pos_max(g["stat"]),
+            bound=pos_max(g["bound"]),
+            maxvel=pos_max(g["maxvel"], axis=0) if cfg.kkt
+            else jnp.zeros(cfg.num_hums),
+            ksi=pos_max(g["ksi"], axis=0) if cfg.kkt
+            else jnp.zeros(cfg.num_hums),
+            acc=pos_max(g["acc"]),
+            kkt_ineq=pos_max(g["kkt"], axis=(0, 2)) if cfg.kkt
+            else jnp.zeros(cfg.num_hums),
+            kkt_eq=jnp.zeros(cfg.num_hums))
+        z2 = self.pack(u_rob, u_hums, lam, slacks)
+        if cfg.kkt:
+            # eq slacks: mean residual per human (free sign, L2-penalized)
+            res = self.eq_residuals(z2, params).reshape(
+                cfg.K_orca, cfg.num_hums, 3 + cfg.n_lam)
+            # solve for the shared slack minimizing the L2 eq residual
+            eq_s = jnp.mean(res, axis=(0, 2)) / sc
+            slacks = slacks._replace(kkt_eq=eq_s)
+            z2 = self.pack(u_rob, u_hums, lam, slacks)
+        return z2
 
     # ------------------------------------------------------------ sizes
     @property

@@ -50,19 +50,27 @@ def _human_lines(ocp: OCP, params: MPCParams, xr, xh, a):
             jnp.concatenate([s_pair, s_stat], 0))
 
 
-def solve_human_step(ocp: OCP, params: MPCParams, xr, xh, a):
-    """One human's relaxed-ORCA solve: velocity via the LP core, ksi = max
-    violation, duals via active-set least squares.
+def solve_human_step(ocp: OCP, params: MPCParams, xr, xh, a,
+                     newton_iters: int = 8):
+    """One human's relaxed-ORCA solve, with KKT-consistent duals.
+
+    The reference solves the per-human relaxed NLP with nlpsol/Opti to get a
+    primal+dual warmstart (orca_casadi.py:708-841, optimize_all:845). Here:
+    the batched ORCA LP gives the primal point, active-set least squares an
+    initial dual estimate, then damped square-Newton iterations on the
+    *embedded* KKT system F(w, lam) = [grad_w L; lam*g - rho] drive exactly
+    the residuals the upper level penalizes to ~0.
 
     Returns (u (3,) [vx, vy, ksi_raw], lam (n_lam,))."""
+    from sicnav_tpu.mpc.ocp import KKT_RHO
     cfg = ocp.cfg
+    sv, sk = cfg.orca_vxy_scaling, cfg.orca_ksi_scaling
     norms, scalars = _human_lines(ocp, params, xr, xh, a)
     v_max = params.v_max_prefs[a]
     v_pref = OL.v_pref_from_state(xh[a, :2], xh[a, 4:6], v_max)
 
     # half-plane form for the LP core: feasible = left of (point, dir)
-    # n.v >= b  <=>  det(dir, point - v) <= 0 with dir = (n_y, -n_x),
-    # point = b*n (a point on the line since |n| ~ 1... use b*n/|n|^2)
+    # n.v >= b  <=>  det(dir, point - v) <= 0 with dir = (n_y, -n_x)
     nn = jnp.maximum(jnp.sum(norms * norms, -1), 1e-12)
     pts = scalars[:, None] * norms / nn[:, None]
     dirs = jnp.stack([norms[:, 1], -norms[:, 0]], -1)
@@ -71,22 +79,42 @@ def solve_human_step(ocp: OCP, params: MPCParams, xr, xh, a):
     v = solve_orca_lp(pts, dirs, valid, is_obst, v_max, v_pref)
 
     g_lines = scalars - jnp.sum(norms * v[None, :], -1)   # >0 => violated
-    ksi_eff = jnp.maximum(jnp.max(g_lines), 0.0)          # relaxation needed
-    ksi_raw = ksi_eff / cfg.orca_ksi_scaling
+    ksi_raw0 = jnp.maximum(jnp.max(g_lines), 0.0) / sk
+    w0 = jnp.concatenate([v / sv, ksi_raw0[None]])
 
-    # duals from stationarity: 2(v - v_pref) = sum lam_i * n_i over active set
-    act = g_lines > -1e-6
-    A = jnp.where(act[:, None], norms, 0.0)               # (L, 2)
-    b = 2.0 * (v - v_pref)
-    AtA = A @ A.T + 1e-6 * jnp.eye(A.shape[0])
-    lam_lines = jnp.maximum(jnp.linalg.solve(AtA, A @ b), 0.0)
+    # initial duals: least squares on stationarity over the active set
+    g0 = ocp.human_orca_g(params, xr, xh, w0, a)
+    n_lam = g0.shape[0]
+    act = g0 > -1e-5
+    grad_g = jax.jacfwd(lambda w: ocp.human_orca_g(params, xr, xh, w, a))(w0)
+    grad_f = jax.grad(lambda w: OL.lower_level_cost(
+        sv * w[:2], sk * w[2], v_pref))(w0)
+    A = jnp.where(act[:, None], grad_g, 0.0)              # (n_lam, 3)
+    AtA = A @ A.T + 1e-8 * jnp.eye(n_lam)
+    lam0 = jnp.clip(jnp.linalg.solve(AtA, A @ (-grad_f)), 0.0, 1e4)
 
-    speed2 = dot2(v, v)
-    lam_maxvel = jnp.where(speed2 > v_max ** 2 - 1e-6, 0.1, 0.0)
-    lam_ksi = jnp.zeros(())
-    u = jnp.concatenate([v / cfg.orca_vxy_scaling, ksi_raw[None]])
-    lam = jnp.concatenate([lam_lines, lam_maxvel[None], lam_ksi[None]])
-    return u, lam
+    # damped Newton on F(w, lam) = [grad_w L; lam * g - rho]
+    def kkt_res(wl):
+        w, lam = wl[:3], wl[3:]
+        grad = jax.grad(lambda ww: ocp.human_lagrangian(
+            params, xr, xh, ww, lam, a)[0])(w)
+        g = ocp.human_orca_g(params, xr, xh, w, a)
+        return jnp.concatenate([grad, lam * g - KKT_RHO])
+
+    def newton_step(wl, _):
+        res = kkt_res(wl)
+        J = jax.jacfwd(kkt_res)(wl)
+        J = J + 1e-8 * jnp.eye(J.shape[0])
+        dwl = jnp.linalg.solve(J, -res)
+        # damped update keeping duals nonnegative
+        wl_new = wl + jnp.clip(dwl, -1.0, 1.0)
+        wl_new = wl_new.at[3:].set(jnp.maximum(wl_new[3:], 0.0))
+        better = jnp.sum(kkt_res(wl_new) ** 2) < jnp.sum(res ** 2)
+        return jnp.where(better, wl_new, wl), None
+
+    wl0 = jnp.concatenate([w0, lam0])
+    wl, _ = jax.lax.scan(newton_step, wl0, None, length=newton_iters)
+    return wl[:3], wl[3:]
 
 
 def robot_warmstart_velocity(ocp: OCP, params: MPCParams, xr, xh):
