@@ -1,0 +1,98 @@
+"""SICNav-Diffusion: JMID forecasts fused into the CAMPC loop.
+
+Functional equivalent of sicnav_diffusion/policy/sicnav_acados.py's predict
+path (:1629-1734): maintain per-human history buffers, run the JMID
+forecaster (diffusion sampling + KDE top-k), convert the ranked samples
+into the MPC's human-goal model (weighted sample average — the
+``human_goal_cvmm=false, human_pred_MID*`` configuration), and solve the
+bilevel MPC. One control step is one jitted program; the <100 ms/step
+budget comes from the diffusion scan + the batched IPM sharing the chip.
+
+Round-1 scope notes (v. mpc_env_new.py): the human goals are the
+log-weight-averaged top-k samples at t+1 recomputed per control step; the
+reference's *stateful* per-stage sample-weight dynamics
+(get_ORCA_human_dynamics_eqn:380-520) and the close-to-preds soft
+constraint (:1454-1528) are not yet ported.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from sicnav_tpu.diffusion import forecaster as FC
+from sicnav_tpu.diffusion.mid import JMIDModel
+from sicnav_tpu.env.crowd_sim import intermediate_goals
+from sicnav_tpu.env.types import EnvConfig, SimState
+from sicnav_tpu.mpc import campc as C
+from sicnav_tpu.mpc import ipm
+from sicnav_tpu.mpc.ocp import OCP
+
+
+class SICNavDiffCarry(NamedTuple):
+    mpc: C.CAMPCCarry
+    forecaster: FC.ForecasterState
+    key: jnp.ndarray
+
+
+def init_carry(ocp: OCP, max_humans: int, fcfg: FC.ForecasterConfig,
+               seed: int = 0) -> SICNavDiffCarry:
+    return SICNavDiffCarry(
+        mpc=C.init_carry(ocp),
+        forecaster=FC.init_state(max_humans, fcfg),
+        key=jax.random.PRNGKey(seed))
+
+
+def weighted_goals(forecasts, log_weights, step: int = 1):
+    """Human goals = log-weight-averaged forecast sample positions at t+step
+    (sicnav_acados.predict:1653-1680 weighted-samples goal model).
+
+    forecasts: (H, k, T+1, 2); log_weights: (H, k). Returns (H, 2)."""
+    w = jax.nn.softmax(log_weights, axis=-1)
+    return jnp.sum(w[..., None] * forecasts[:, :, step, :], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("ocp", "env_cfg", "model",
+                                             "fcfg", "settings"))
+def sicnav_diffusion_action(ocp: OCP, model: JMIDModel, mid_params,
+                            state: SimState, carry: SICNavDiffCarry,
+                            env_cfg: EnvConfig, fcfg: FC.ForecasterConfig,
+                            settings: ipm.IPMSettings = ipm.IPMSettings()):
+    """One SICNav-Diffusion control step. Returns (action (v, r), carry')."""
+    key, k_fc = jax.random.split(carry.key)
+    fstate = FC.update_state_hists(carry.forecaster, state, fcfg)
+    forecasts, log_w = FC.predict_ret_best(model, mid_params, fstate, state,
+                                           k_fc, fcfg)
+    goals = weighted_goals(forecasts, log_w)
+
+    # feed the MPC a state whose human goals come from the forecaster
+    mpc_view = state._replace(h_goal=goals)
+    action, mpc_carry = C.campc_action(ocp, mpc_view, carry.mpc, env_cfg,
+                                       settings)
+    return action, SICNavDiffCarry(mpc=mpc_carry, forecaster=fstate, key=key)
+
+
+def make_policy(env_cfg: EnvConfig, model: JMIDModel, mid_params,
+                mpc_cfg=None, fcfg: FC.ForecasterConfig = None,
+                settings: ipm.IPMSettings = None):
+    """Build (ocp, policy_fn): policy_fn(state, carry) -> (action, carry)."""
+    from sicnav_tpu.mpc.ocp import MPCConfig
+    if mpc_cfg is None:
+        # MID-driven goals are handled as privileged goals in the model view
+        mpc_cfg = MPCConfig(num_hums=env_cfg.max_humans,
+                            num_walls=env_cfg.wall_slots,
+                            dt=env_cfg.dt, priviledged_info=True)
+    if fcfg is None:
+        fcfg = FC.ForecasterConfig(dt=env_cfg.dt)
+    if settings is None:
+        settings = ipm.IPMSettings()
+    ocp = OCP(mpc_cfg)
+
+    def policy_fn(state, carry):
+        return sicnav_diffusion_action(ocp, model, mid_params, state, carry,
+                                       env_cfg, fcfg, settings)
+
+    return ocp, policy_fn

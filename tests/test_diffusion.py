@@ -1,0 +1,137 @@
+"""JMID/iMID tests: schedule parity, loss/sampling shapes, KDE ranking,
+metrics, small-training sanity, forecaster plumbing."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sicnav_tpu.diffusion import data as D
+from sicnav_tpu.diffusion import diffusion as DF
+from sicnav_tpu.diffusion import evaluation as EV
+from sicnav_tpu.diffusion import kde
+from sicnav_tpu.diffusion.models import ModelConfig
+from sicnav_tpu.diffusion.mid import JMIDModel, TrainConfig, make_train_state, train_step
+
+CFG = ModelConfig(context_dim=32, enc_rnn_dim=16, tf_layer=1,
+                  history_len=6, horizon=8)
+
+
+def _synthetic_batches(n_scenes=4, A=3, T=40, seed=0):
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(n_scenes):
+        p0 = rng.uniform(-3, 3, (A, 1, 2))
+        v = rng.uniform(-1, 1, (A, 1, 2))
+        ts = np.arange(T)[None, :, None] * 0.25
+        pos = p0 + v * ts
+        out += D.build_examples(pos, np.ones((A, T), bool), 0.25,
+                                history_len=6, horizon=8, stride=10)
+    return out
+
+
+def test_schedule_parity():
+    s = DF.make_schedule(100)
+    assert s.betas.shape == (101,)
+    assert float(s.betas[0]) == 0.0
+    np.testing.assert_allclose(float(s.betas[1]), 1e-4, rtol=1e-5)
+    np.testing.assert_allclose(float(s.betas[100]), 5e-2, rtol=1e-5)
+    # alpha_bar decreasing in (0, 1]
+    ab = np.asarray(s.alpha_bars)
+    assert ab[0] == 1.0 and np.all(np.diff(ab) <= 0) and ab[-1] > 0
+
+
+def test_ddim_sampling_shapes_and_determinism():
+    s = DF.make_schedule(100)
+    ctx = jnp.ones((3, 8))
+    net = lambda x, beta, c: 0.1 * x   # trivial eps net
+    out1 = DF.sample(net, s, jax.random.PRNGKey(0), 5, ctx, horizon=8,
+                     sampling="ddim", stride=2)
+    out2 = DF.sample(net, s, jax.random.PRNGKey(0), 5, ctx, horizon=8,
+                     sampling="ddim", stride=2)
+    assert out1.shape == (5, 3, 8, 2)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+    out3 = DF.sample(net, s, jax.random.PRNGKey(0), 4, ctx, horizon=8,
+                     sampling="ddpm", stride=1)
+    assert out3.shape == (4, 3, 8, 2)
+    assert np.isfinite(np.asarray(out3)).all()
+
+
+def test_kde_ranking_prefers_mode():
+    # 19 clustered samples + 1 far outlier: outlier must rank last
+    rng = np.random.default_rng(0)
+    S, H, T = 20, 2, 8
+    fc = rng.normal(0, 0.05, (S, H, T, 2))
+    fc[7] += 5.0   # outlier sample
+    top, lw = kde.most_likely_samples(jnp.asarray(fc), 5, joint=True)
+    assert top.shape == (H, 5, T, 2)
+    assert np.abs(np.asarray(top)).max() < 3.0   # outlier excluded
+    assert lw.shape == (H, 5)
+    np.testing.assert_allclose(np.exp(np.asarray(lw[0])).sum(), 1.0, atol=1e-4)
+    top_i, lw_i = kde.most_likely_samples(jnp.asarray(fc), 5, joint=False)
+    assert top_i.shape == (H, 5, T, 2)
+    assert np.abs(np.asarray(top_i)).max() < 3.0
+
+
+def test_metrics():
+    pred = jnp.zeros((4, 8, 2))
+    gt = jnp.ones((8, 2))
+    a, f = EV.min_ade_fde(pred, gt)
+    np.testing.assert_allclose(float(a), np.sqrt(2), rtol=1e-5)
+    np.testing.assert_allclose(float(f), np.sqrt(2), rtol=1e-5)
+    nll = EV.kde_nll(jnp.asarray(np.random.default_rng(0).normal(size=(50, 8, 2))),
+                     jnp.zeros((8, 2)))
+    assert np.isfinite(float(nll))
+
+
+def test_build_examples_masks():
+    pos = np.zeros((2, 20, 2))
+    valid = np.ones((2, 20), bool)
+    valid[1, :10] = False   # agent 1 appears at t=10
+    ex = D.build_examples(pos, valid, 0.25, history_len=6, horizon=8, stride=3)
+    assert len(ex) > 0
+    for e in ex:
+        assert e.hist.shape == (2, 6, 6)
+        assert e.fut_vel.shape == (2, 8, 2)
+
+
+def test_training_reduces_loss():
+    batches = _synthetic_batches()
+    stacked = D.stack_batches(batches[:6])
+    model = JMIDModel(CFG, joint=True)
+    tc = TrainConfig()
+    params, tx, opt = make_train_state(
+        model, jax.tree.map(lambda x: x[0], stacked), tc, 1)
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(25):
+        key, k = jax.random.split(key)
+        params, opt, loss = train_step(model, tx, params, opt,
+                                       jax.tree.map(jnp.asarray, stacked), k)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
+
+
+def test_forecaster_plumbing():
+    from sicnav_tpu.diffusion import forecaster as FC
+    from sicnav_tpu.env.types import EnvConfig
+    from sicnav_tpu.env import crowd_sim as CS
+
+    env_cfg = EnvConfig(scenario="circle_crossing", human_policy="orca",
+                        human_num=3, max_humans=3, starts_moving=0)
+    state = CS.reset_host(env_cfg, case=0)
+    fcfg = FC.ForecasterConfig(num_samples=8, num_ret_samples=3)
+    fstate = FC.init_state(3, fcfg)
+    for _ in range(3):
+        fstate = FC.update_state_hists(fstate, state, fcfg)
+        state, _, _ = CS.step(state, jnp.zeros(2), env_cfg)
+    model = JMIDModel(CFG, joint=True)
+    batch = FC._scene_batch_from_hist(fstate, state, fcfg)
+    key = jax.random.PRNGKey(0)
+    params = model.init({"params": key, "dropout": key}, batch, key)
+    fc, lw = FC.predict_ret_best(model, params, fstate, state, key, fcfg)
+    assert fc.shape == (3, 3, fcfg.horizon + 1, 2)
+    assert lw.shape == (3, 3)
+    # forecasts start at the current positions
+    np.testing.assert_allclose(np.asarray(fc[:, 0, 0]),
+                               np.asarray(state.h_pos), atol=1e-5)
+    assert np.isfinite(np.asarray(fc)).all()

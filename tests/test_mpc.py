@@ -1,0 +1,120 @@
+"""MPC stack tests: OCP consistency, warmstart feasibility, solver behavior.
+
+CAMPC full-solve tests use small configs (CPU compile time of the exact-
+Hessian IPM is the binding constraint, not runtime)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sicnav_tpu.env.types import EnvConfig
+from sicnav_tpu.env import crowd_sim as CS
+from sicnav_tpu.mpc.ocp import MPCConfig, OCP
+from sicnav_tpu.mpc import campc as C, ipm, warmstart as WS
+
+ENV = EnvConfig(scenario="circle_crossing", human_policy="orca", human_num=2,
+                max_humans=2, starts_moving=0, robot_kinematics="unicycle")
+MPC = MPCConfig(num_hums=2, num_walls=1, priviledged_info=True)
+
+
+@pytest.fixture(scope="module")
+def ocp():
+    return OCP(MPC)
+
+
+@pytest.fixture(scope="module")
+def setup(ocp):
+    state = CS.reset_host(ENV, case=1)
+    params = C.build_params(ocp, state, ENV)
+    return state, params
+
+
+def test_ocp_shapes(ocp, setup):
+    _, params = setup
+    z = jnp.zeros(MPC.n_z)
+    assert ocp.eq_residuals(z, params).shape == (ocp.n_eq,)
+    assert ocp.ineq_residuals(z, params).shape == (ocp.n_ineq,)
+    assert np.isfinite(float(ocp.cost(z, params)))
+
+
+def test_pack_unpack_roundtrip(ocp):
+    rng = np.random.default_rng(0)
+    z = jnp.asarray(rng.normal(size=MPC.n_z), jnp.float32)
+    u_rob, u_hums, lam, slacks = ocp.unpack(z)
+    z2 = ocp.pack(u_rob, u_hums, lam, slacks)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(z2), atol=1e-6)
+
+
+def test_rollout_dynamics(ocp, setup):
+    _, params = setup
+    u_rob = jnp.array([[0.5, 0.2]] * MPC.K)
+    u_hums = jnp.zeros((MPC.K_orca, MPC.num_hums, 3))
+    X_rob, X_hums = ocp.rollout(params, u_rob, u_hums)
+    # manual first step
+    th1 = float(params.x0_rob[2]) + 0.25 * 0.2
+    exp_x = float(params.x0_rob[0]) + 0.25 * 0.5 * np.cos(th1)
+    np.testing.assert_allclose(float(X_rob[1, 0]), exp_x, atol=1e-6)
+    np.testing.assert_allclose(float(X_rob[1, 3]), 0.5, atol=1e-6)
+    # humans with zero decision velocity stay put
+    np.testing.assert_allclose(np.asarray(X_hums[1, :, :2]),
+                               np.asarray(X_hums[0, :, :2]), atol=1e-6)
+
+
+def test_warmstart_feasibility(ocp, setup):
+    _, params = setup
+    z = ocp.infer_slacks(WS.warmstart_horizon(ocp, params), params)
+    assert bool(jnp.all(jnp.isfinite(z)))
+    ineq = ocp.ineq_residuals(z, params)
+    assert float(jnp.max(ineq)) < 1e-4          # slack-shifted feasible
+    eq = ocp.eq_residuals(z, params)
+    # Newton-polished lower-level KKT: embedded equalities near-satisfied
+    assert float(jnp.max(jnp.abs(eq))) < 1e-3
+
+
+def test_isolated_human_tracks_v_pref(ocp, setup):
+    """A far-from-everything human's warmstart velocity ~ its pref velocity."""
+    state, params = setup
+    far = params._replace(
+        hums0=params.hums0.at[0, :2].set(jnp.array([50.0, 50.0]))
+        .at[0, 4:6].set(jnp.array([55.0, 50.0])))
+    u, lam = WS.solve_human_step(ocp, far, params.x0_rob, far.hums0, 0)
+    from sicnav_tpu.mpc.orca_lines import v_pref_from_state
+    vp = v_pref_from_state(far.hums0[0, :2], far.hums0[0, 4:6],
+                           far.v_max_prefs[0])
+    np.testing.assert_allclose(np.asarray(u[:2]), np.asarray(vp), atol=1e-2)
+
+
+def test_ipm_solves_simple_qp():
+    # min (x-2)^2 s.t. x <= 1  ->  x* = 1
+    f = lambda z: (z[0] - 2.0) ** 2
+    ce = lambda z: jnp.zeros((0,), z.dtype)
+    ci = lambda z: jnp.array([z[0] - 1.0])
+    z, info = ipm.solve(f, ce, ci, jnp.array([0.0]),
+                        ipm.IPMSettings(n_iter=25))
+    np.testing.assert_allclose(float(z[0]), 1.0, atol=1e-3)
+
+
+def test_ipm_equality_constrained():
+    # min x^2 + y^2 s.t. x + y = 1 -> (0.5, 0.5)
+    f = lambda z: z[0] ** 2 + z[1] ** 2
+    ce = lambda z: jnp.array([z[0] + z[1] - 1.0])
+    ci = lambda z: jnp.array([-z[0] - 10.0])   # inactive
+    z, info = ipm.solve(f, ce, ci, jnp.array([2.0, -1.0]),
+                        ipm.IPMSettings(n_iter=25))
+    np.testing.assert_allclose(np.asarray(z), [0.5, 0.5], atol=1e-3)
+
+
+def test_campc_cvmm_moves_toward_goal():
+    """MPC-CVMM baseline variant (small problem, fast compile)."""
+    mpc_cfg = MPCConfig(num_hums=2, num_walls=1, hum_model="cvmm",
+                        priviledged_info=True)
+    ocp2 = OCP(mpc_cfg)
+    state = CS.reset_host(ENV, case=2)
+    carry = C.init_carry(ocp2)
+    action, carry = C.campc_action(ocp2, state, carry, ENV,
+                                   ipm.IPMSettings(n_iter=15))
+    a = np.asarray(action)
+    assert np.isfinite(a).all()
+    # robot starts at rest facing the goal: expect forward accel, small turn
+    assert 0.0 < a[0] <= MPC.max_l_acc * ENV.dt + 1e-5
+    assert abs(a[1]) <= MPC.max_rot * ENV.dt + 1e-5

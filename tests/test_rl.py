@@ -1,0 +1,90 @@
+"""RL layer tests: networks, lookahead semantics, replay, short DQN run."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sicnav_tpu.env.types import EnvConfig
+from sicnav_tpu.env import crowd_sim as CS
+from sicnav_tpu.rl.networks import SARLNetwork, RGLNetwork, input_transformation
+from sicnav_tpu.rl import dqn as D
+
+ENV = EnvConfig(scenario="circle_crossing", human_policy="orca", human_num=3,
+                max_humans=3, starts_moving=0, robot_kinematics="unicycle")
+DQN = D.DQNConfig(buffer_capacity=500, learning_starts=32, eps_decay=100)
+
+
+def test_action_space_structure():
+    acts = np.asarray(D.build_action_space(ENV, DQN))
+    assert acts.shape == (1 + 5 * 6, 2)
+    np.testing.assert_allclose(acts[0], [0.0, 0.0])
+    # speeds exponential in (0, v_pref]
+    assert acts[1:, 0].max() <= ENV.robot_v_pref + 1e-6
+    assert (acts[1:, 0] > 0).all()
+
+
+def test_input_transformation():
+    robot = jnp.array([1.0, 2.0, 0.1, 0.2, 0.25, 4.0, 6.0, 1.0, 0.5])
+    humans = jnp.array([[2.0, 3.0, -0.1, 0.0, 0.3]])
+    out = np.asarray(input_transformation(robot, humans))[0]
+    np.testing.assert_allclose(out[:6], [3.0, 4.0, 1.0, 0.25, 0.1, 0.2],
+                               atol=1e-6)
+    np.testing.assert_allclose(out[6:8], [1.0, 1.0], atol=1e-6)      # px1, py1
+    np.testing.assert_allclose(out[11], np.sqrt(2), atol=1e-6)       # da
+    np.testing.assert_allclose(out[12], 0.55, atol=1e-6)             # r_sum
+
+
+def test_sarl_mask_invariance():
+    """Padded human slots must not change the value."""
+    net = SARLNetwork()
+    key = jax.random.PRNGKey(0)
+    robot = jax.random.normal(key, (9,))
+    humans = jax.random.normal(key, (3, 5))
+    params = net.init(key, robot, humans, jnp.ones(3, bool))
+    mask = jnp.array([True, True, False])
+    v1 = net.apply(params, robot, humans, mask)
+    humans2 = humans.at[2].set(999.0)   # garbage in the masked slot
+    v2 = net.apply(params, robot, humans2, mask)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-4)
+
+
+def test_lookahead_matches_step():
+    state = CS.reset_host(ENV, case=0)
+    actions = D.build_action_space(ENV, DQN)
+    rs, hs, rew, done = D.lookahead(state, actions, ENV)
+    assert rs.shape == (31, 9) and hs.shape == (31, 3, 5)
+    # branch 5 must equal a direct env step with that action
+    s2, r2, info2 = CS.step(state, actions[5], ENV)
+    np.testing.assert_allclose(np.asarray(rs[5]),
+                               np.asarray(CS.robot_full_state(s2)), atol=1e-5)
+    np.testing.assert_allclose(float(rew[5]), float(r2), atol=1e-5)
+
+
+def test_replay_buffer_ring():
+    buf = D.ReplayBuffer.create(8, 3)
+    t = D.Transition(jnp.ones((4, 9)), jnp.ones((4, 3, 5)),
+                     jnp.ones((4, 3), bool), jnp.ones((4, 9)),
+                     jnp.ones((4, 3, 5)), jnp.arange(4.0), jnp.zeros(4, bool))
+    buf = D.buffer_add(buf, t, 4)
+    assert int(buf.size) == 4
+    buf = D.buffer_add(buf, t, 4)
+    buf = D.buffer_add(buf, t, 4)   # wraps
+    assert int(buf.size) == 8
+    batch = D.buffer_sample(buf, jax.random.PRNGKey(0), 16)
+    assert batch.reward.shape == (16,)
+
+
+def test_short_dqn_run():
+    net = SARLNetwork()
+    params, hist = D.train(net, ENV, DQN, n_envs=4, total_steps=120,
+                           log_every=2)
+    assert all(np.isfinite(h["loss"]) for h in hist)
+
+
+def test_rgl_forward_finite():
+    net = RGLNetwork()
+    key = jax.random.PRNGKey(1)
+    robot = jax.random.normal(key, (9,))
+    humans = jax.random.normal(key, (3, 5))
+    params = net.init(key, robot, humans, jnp.ones(3, bool))
+    v = net.apply(params, robot, humans, jnp.array([True, True, False]))
+    assert np.isfinite(float(v))
