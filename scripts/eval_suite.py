@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Run the seeded 500-case evaluation suite for a policy (reference:
+RL_nav/RL_test.py). Prints the summary metrics table as JSON."""
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--policy", default="dwa",
+                   choices=["dwa", "orca_plus", "campc", "campc_cvmm"])
+    p.add_argument("--num_cases", type=int, default=500)
+    p.add_argument("--num_humans", type=int, default=3)
+    p.add_argument("--scenario", default="circle_crossing")
+    p.add_argument("--phase", default="test", choices=["test", "val"])
+    p.add_argument("--batch", type=int, default=50)
+    p.add_argument("--privileged", action="store_true")
+    args = p.parse_args()
+
+    from sicnav_tpu.env.types import EnvConfig
+    from sicnav_tpu import harness
+
+    env_cfg = EnvConfig(
+        scenario=args.scenario,
+        human_policy="orca" if args.scenario == "circle_crossing" else "orca_plus",
+        human_num=args.num_humans, max_humans=args.num_humans,
+        starts_moving=0,
+        robot_kinematics="holonomic" if args.policy == "orca_plus" else "unicycle")
+
+    if args.policy == "dwa":
+        from sicnav_tpu.policies.dwa import dwa_policy
+        res = harness.evaluate_policy(lambda s: dwa_policy(s, env_cfg),
+                                      env_cfg, args.num_cases, args.phase,
+                                      args.batch)
+    elif args.policy == "orca_plus":
+        from sicnav_tpu.policies.orca_robot import orca_robot_action
+        res = harness.evaluate_policy(lambda s: orca_robot_action(s, env_cfg),
+                                      env_cfg, args.num_cases, args.phase,
+                                      args.batch)
+    else:
+        from sicnav_tpu.mpc.ocp import MPCConfig
+        from sicnav_tpu.mpc import campc as C
+        mpc_cfg = MPCConfig(
+            num_hums=env_cfg.max_humans, num_walls=env_cfg.wall_slots,
+            dt=env_cfg.dt,
+            hum_model="cvmm" if args.policy == "campc_cvmm" else "orca_casadi_kkt",
+            priviledged_info=args.privileged)
+        ocp, policy = C.make_policy(env_cfg, mpc_cfg)
+        res = harness.evaluate_policy(
+            None, env_cfg, args.num_cases, args.phase, args.batch,
+            stateful_policy=(lambda: C.init_carry(ocp), policy))
+
+    print(json.dumps(res, indent=2))
+
+
+if __name__ == "__main__":
+    main()

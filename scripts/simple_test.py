@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Run one seeded test case end-to-end with a chosen robot policy.
+
+Equivalent of the reference's simple_test.py:67-346: scenario flags, one
+episode, per-step event log, summary dict (pickled), optional video render.
+"""
+import argparse
+import os
+import pickle
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--policy", default="campc",
+                   choices=["campc", "campc_cvmm", "dwa", "orca_plus",
+                            "sicnav_diffusion"])
+    p.add_argument("--test_case", type=int, default=0)
+    p.add_argument("--num_humans", type=int, default=3)
+    p.add_argument("--circle", action="store_true")
+    p.add_argument("--hallway", action="store_true")
+    p.add_argument("--hallway_static", action="store_true")
+    p.add_argument("--hallway_bottleneck", action="store_true")
+    p.add_argument("--hallway_squeeze", action="store_true")
+    p.add_argument("--env_config", default=None)
+    p.add_argument("--policy_config", default=None)
+    p.add_argument("--video", default=None, help="output mp4/gif path")
+    p.add_argument("--output_pickle", default=None)
+    p.add_argument("--privileged", action="store_true",
+                   help="SICNav-p (true human goals) vs SICNav-np")
+    args = p.parse_args()
+
+    from sicnav_tpu.env.types import EnvConfig
+    from sicnav_tpu.env import crowd_sim as CS
+
+    scenario = "hallway_bottleneck"
+    human_policy = "orca_plus"
+    if args.circle:
+        scenario, human_policy = "circle_crossing", "orca"
+    elif args.hallway:
+        scenario = "hallway"
+    elif args.hallway_static:
+        scenario = "hallway_static"
+    elif args.hallway_squeeze:
+        scenario = "hallway_squeeze"
+
+    if args.env_config:
+        from sicnav_tpu.config import load_env_config
+        cfg = load_env_config(args.env_config, scenario_override=scenario,
+                              human_num_override=args.num_humans)
+    else:
+        cfg = EnvConfig(scenario=scenario, human_policy=human_policy,
+                        human_num=args.num_humans,
+                        max_humans=args.num_humans,
+                        robot_kinematics="holonomic"
+                        if args.policy == "orca_plus" else "unicycle")
+
+    state = CS.reset_host(cfg, case=args.test_case)
+    max_steps = int(cfg.time_limit / cfg.dt) + 2
+
+    # --- policy ----------------------------------------------------------
+    carry = None
+    if args.policy in ("campc", "campc_cvmm"):
+        from sicnav_tpu.mpc.ocp import MPCConfig
+        from sicnav_tpu.mpc import campc as C
+        mpc_cfg = MPCConfig(
+            num_hums=cfg.max_humans, num_walls=cfg.wall_slots, dt=cfg.dt,
+            hum_model="cvmm" if args.policy == "campc_cvmm" else "orca_casadi_kkt",
+            priviledged_info=args.privileged)
+        if args.policy_config:
+            from sicnav_tpu.config import load_mpc_config
+            mpc_cfg = load_mpc_config(args.policy_config, cfg)
+        ocp, policy = C.make_policy(cfg, mpc_cfg)
+        carry = C.init_carry(ocp)
+    elif args.policy == "dwa":
+        from sicnav_tpu.policies.dwa import dwa_policy
+        policy = lambda s: (dwa_policy(s, cfg), None)
+    elif args.policy == "orca_plus":
+        from sicnav_tpu.policies.orca_robot import orca_robot_action
+        policy = lambda s: (orca_robot_action(s, cfg), None)
+    else:
+        raise SystemExit("sicnav_diffusion needs a trained checkpoint; "
+                         "use scripts/eval_sicnav_diffusion.py")
+
+    # --- episode loop (simple_test.py:216-279) ---------------------------
+    log = []
+    states = [state]
+    t0 = time.time()
+    for step_i in range(max_steps):
+        if carry is not None:
+            action, carry = policy(state, carry)
+        else:
+            action, _ = policy(state)
+        state, rew, info = CS.step(state, action, cfg)
+        states.append(state)
+        ev = dict(step=step_i, t=float(state.t), reward=float(rew),
+                  collision=bool(info.collision), danger=bool(info.danger),
+                  frozen=bool(info.frozen),
+                  wall_collision=bool(info.wall_collision),
+                  dmin=float(info.dmin))
+        log.append(ev)
+        flags = "".join(k[0].upper() for k in
+                        ("collision", "danger", "frozen", "wall_collision")
+                        if ev[k])
+        print(f"t={ev['t']:5.2f} pos=({float(state.r_pos[0]):+.2f},"
+              f"{float(state.r_pos[1]):+.2f}) r={ev['reward']:+.3f} "
+              f"dmin={ev['dmin']:.2f} {flags}")
+        if bool(state.done):
+            break
+
+    success = bool(info.reach_goal)
+    summary = dict(policy=args.policy, test_case=args.test_case,
+                   success=success, timeout=bool(info.timeout),
+                   nav_time=float(state.t), steps=len(log),
+                   collisions=sum(e["collision"] for e in log),
+                   wall_collisions=sum(e["wall_collision"] for e in log),
+                   frozen=sum(e["frozen"] for e in log),
+                   danger=sum(e["danger"] for e in log),
+                   wall_time=time.time() - t0, log=log)
+    print(f"\n{'SUCCESS' if success else 'TIMEOUT' if summary['timeout'] else 'UNFINISHED'}"
+          f" nav_time={summary['nav_time']:.2f}s "
+          f"collisions={summary['collisions']} wall_time={summary['wall_time']:.1f}s")
+
+    if args.output_pickle:
+        with open(args.output_pickle, "wb") as f:
+            pickle.dump(summary, f)
+    if args.video:
+        from sicnav_tpu.utils.render import render_episode
+        traj = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+        render_episode(traj, cfg, args.video)
+        print("wrote", args.video)
+
+
+if __name__ == "__main__":
+    main()

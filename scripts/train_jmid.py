@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Train a JMID/iMID trajectory predictor (reference: JMID/MID/main.py).
+
+Data comes from batched sim rollouts (generated on the fly, the equivalent
+of the reference's SICNav_TRO_MID_data source) or ETH/UCY-format txt files.
+"""
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import numpy as np
+
+
+def generate_sim_scenes(n_scenes, cfg, seed=0, steps=60):
+    """Roll batched envs with ORCA humans + ORCA robot to produce scenes."""
+    import jax.numpy as jnp
+    from sicnav_tpu.env import crowd_sim as CS, rollout as R
+    from sicnav_tpu.policies.orca_robot import orca_robot_action
+    from sicnav_tpu.diffusion import data as D
+
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_scenes)
+    states = jax.vmap(lambda k: CS.reset_device(k, cfg))(keys)
+    pol = lambda s: orca_robot_action(s, cfg)
+    _, _, traj = R.batch_rollout(states, pol, cfg, max_steps=steps)
+
+    examples = []
+    for b in range(n_scenes):
+        scene = jax.tree.map(lambda x: np.asarray(x[b]), traj)
+        pos, valid = D.scenes_from_env_rollout(scene)
+        examples += D.build_examples(pos, valid, cfg.dt, history_len=6,
+                                     horizon=8, stride=4)
+    return examples
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--method", default="mid_jp", choices=["mid", "mid_jp"])
+    p.add_argument("--dataset", default="sim")
+    p.add_argument("--data_files", nargs="*", default=[],
+                   help="ETH/UCY-format txt files (overrides sim generation)")
+    p.add_argument("--epochs", type=int, default=90)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--n_scenes", type=int, default=64)
+    p.add_argument("--encoder_dim", type=int, default=256)
+    p.add_argument("--tf_layer", type=int, default=3)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default="checkpoints/jmid")
+    args = p.parse_args()
+
+    from sicnav_tpu.env.types import EnvConfig
+    from sicnav_tpu.diffusion import data as D
+    from sicnav_tpu.diffusion.models import ModelConfig
+    from sicnav_tpu.diffusion.mid import JMIDModel, TrainConfig, fit
+
+    if args.data_files:
+        examples = []
+        for f in args.data_files:
+            pos, valid = D.load_ethucy_txt(f)
+            examples += D.build_examples(pos, valid, 0.4, history_len=6,
+                                         horizon=8, max_agents=16)
+    else:
+        env_cfg = EnvConfig(scenario="circle_crossing", human_policy="orca",
+                            human_num=5, max_humans=5, starts_moving=0,
+                            robot_kinematics="holonomic")
+        examples = generate_sim_scenes(args.n_scenes, env_cfg, args.seed)
+
+    rng = np.random.default_rng(args.seed)
+    rng.shuffle(examples)
+    n_val = max(len(examples) // 10, 1)
+    val, train = examples[:n_val], examples[n_val:]
+
+    def batches(ex):
+        out = []
+        for i in range(0, len(ex) - args.batch_size + 1, args.batch_size):
+            out.append(D.stack_batches(ex[i:i + args.batch_size]))
+        return out
+
+    model = JMIDModel(ModelConfig(context_dim=args.encoder_dim,
+                                  tf_layer=args.tf_layer),
+                      joint=args.method == "mid_jp")
+    tc = TrainConfig(joint=args.method == "mid_jp", lr=args.lr,
+                     epochs=args.epochs, batch_size=args.batch_size,
+                     seed=args.seed)
+    params, history = fit(model, batches(train), batches(val), tc,
+                          checkpoint_dir=os.path.abspath(args.out))
+    print(json.dumps(history[-3:], indent=2))
+    print("checkpoint:", args.out)
+
+
+if __name__ == "__main__":
+    main()
