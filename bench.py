@@ -15,6 +15,8 @@ import jax.numpy as jnp
 
 
 def main():
+    from sicnav_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     from sicnav_tpu.env.types import EnvConfig
     from sicnav_tpu.env import crowd_sim as CS
     from sicnav_tpu.policies.dwa import dwa_policy

@@ -18,6 +18,8 @@ import numpy as np
 
 
 def main():
+    from sicnav_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--policy", default="campc",
                    choices=["campc", "campc_cvmm", "dwa", "orca_plus",

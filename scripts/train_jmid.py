@@ -37,6 +37,8 @@ def generate_sim_scenes(n_scenes, cfg, seed=0, steps=60):
 
 
 def main():
+    from sicnav_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--method", default="mid_jp", choices=["mid", "mid_jp"])
     p.add_argument("--dataset", default="sim")

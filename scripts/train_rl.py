@@ -10,6 +10,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():
+    from sicnav_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="sarl", choices=["sarl", "rgl"])
     p.add_argument("--total_timesteps", type=int, default=200_000)

@@ -266,23 +266,19 @@ class OCP:
         return self.tracking_cost(params, X_rob, u_rob)
 
     # ------------------------------------------------- human ORCA geometry
-    def human_orca_g(self, params: MPCParams, xr, xh, uh_a, a):
-        """Inequality vector g (n_lam,) of human ``a``'s relaxed-ORCA problem
-        at one stage: pairwise lines (others + robot), walls, maxvel, ksi
-        (mpc_env.get_symcon_ORCA_* :527-612). uh_a = (3,) raw [vx, vy, ksi]."""
+    def human_lines(self, params: MPCParams, xr, xh, a):
+        """All (n_lam - 2) half-plane rows of human ``a``'s relaxed-ORCA
+        problem: pairwise (others + robot in slot a) then walls.
+        Returns (norms (L, 2), scalars (L,), adj (L,)) where adj is the
+        degeneracy-jitter coefficient multiplying sk*ksi in each row."""
         cfg = self.cfg
         op = cfg.orca_params
-        sv, sk = cfg.orca_vxy_scaling, cfg.orca_ksi_scaling
-        pair_adj, stat_adj, ksi_vx, ksi_vy = self.jitter
+        pair_adj, stat_adj, _, _ = self.jitter
         H = cfg.num_hums
 
         pos_a = xh[a, :2]
         vel_a = xh[a, 2:4]
         rad_a = params.hum_radii[a]
-        v = sv * uh_a[:2]
-        ksi = uh_a[2]
-
-        # pairwise vs other humans and robot (robot occupies slot a itself)
         rob_pos = xr[:2]
         rob_vel = xr[3] * jnp.stack([jnp.cos(xr[2]), jnp.sin(xr[2])])
 
@@ -291,22 +287,68 @@ class OCP:
             pos_b = jnp.where(is_rob, rob_pos, xh[b, :2])
             vel_b = jnp.where(is_rob, rob_vel, xh[b, 2:4])
             rad_b = jnp.where(is_rob, params.rob_radius, params.hum_radii[b])
-            n, s = OL.pairwise_line(pos_a, vel_a, pos_b, vel_b, rad_a, rad_b, op)
-            return -dot2(n, v) + s - pair_adj[a, b] * sk * ksi
+            return OL.pairwise_line(pos_a, vel_a, pos_b, vel_b, rad_a, rad_b, op)
 
-        g_pair = jax.vmap(pair_row)(jnp.arange(H))
+        n_pair, s_pair = jax.vmap(pair_row)(jnp.arange(H))
 
         def stat_row(w_idx):
-            n, s = OL.static_line(pos_a, vel_a, rad_a, params.walls[w_idx],
+            return OL.static_line(pos_a, vel_a, rad_a, params.walls[w_idx],
                                   params.wall_mask[w_idx], op)
-            return -dot2(n, v) + s - stat_adj[a, w_idx] * sk * ksi
 
-        g_stat = jax.vmap(stat_row)(jnp.arange(cfg.num_walls))
+        n_stat, s_stat = jax.vmap(stat_row)(jnp.arange(cfg.num_walls))
+        norms = jnp.concatenate([n_pair, n_stat], axis=0)
+        scalars = jnp.concatenate([s_pair, s_stat], axis=0)
+        adj = jnp.concatenate([pair_adj[a], stat_adj[a]], axis=0)
+        return norms, scalars, adj
 
+    def _g_from_lines(self, params, norms, scalars, adj, uh_a, a):
+        cfg = self.cfg
+        sv, sk = cfg.orca_vxy_scaling, cfg.orca_ksi_scaling
+        _, _, ksi_vx, ksi_vy = self.jitter
+        v = sv * uh_a[:2]
+        ksi = uh_a[2]
+        g_lines = -(norms @ v) + scalars - adj * sk * ksi
         g_maxvel = dot2(v, v) - params.v_max_prefs[a] ** 2
         g_ksi = ksi_vx[a] * v[0] + ksi_vy[a] * v[1] - sk * ksi
-        return jnp.concatenate([g_pair, g_stat,
-                                g_maxvel[None], g_ksi[None]])
+        return jnp.concatenate([g_lines, g_maxvel[None], g_ksi[None]])
+
+    def human_orca_g(self, params: MPCParams, xr, xh, uh_a, a):
+        """Inequality vector g (n_lam,) of human ``a``'s relaxed-ORCA problem
+        at one stage (mpc_env.get_symcon_ORCA_* :527-612).
+        uh_a = (3,) raw [vx, vy, ksi]."""
+        norms, scalars, adj = self.human_lines(params, xr, xh, a)
+        return self._g_from_lines(params, norms, scalars, adj, uh_a, a)
+
+    def human_kkt_rows(self, params: MPCParams, xr, xh, uh_a, lam_a, a):
+        """(g, stationarity) of the embedded lower-level KKT system with the
+        stationarity gradient written ANALYTICALLY (the constraint gradients
+        w.r.t. (v, ksi) are closed-form), which keeps the upper-level
+        Hessian free of third-order AD through the ORCA geometry."""
+        cfg = self.cfg
+        sv, sk = cfg.orca_vxy_scaling, cfg.orca_ksi_scaling
+        _, _, ksi_vx, ksi_vy = self.jitter
+        norms, scalars, adj = self.human_lines(params, xr, xh, a)
+        g = self._g_from_lines(params, norms, scalars, adj, uh_a, a)
+
+        v = sv * uh_a[:2]
+        ksi = uh_a[2]
+        v_pref = OL.v_pref_from_state(xh[a, :2], xh[a, 4:6],
+                                      params.v_max_prefs[a])
+        lam_lines = lam_a[:-2]
+        lam_mv = lam_a[-2]
+        lam_ksi = lam_a[-1]
+        # d/d(uh_a[:2]) of [cost + lam^T g]:
+        #   cost: |sv u - vpref|^2 -> 2 sv (v - vpref)
+        #   lines: -sv norms^T lam; maxvel: 2 sv^2 u lam_mv = 2 sv v lam_mv
+        #   ksi-row: sv [kx, ky] lam_ksi
+        grad_v = (2.0 * sv * (v - v_pref) - sv * (norms.T @ lam_lines) +
+                  2.0 * sv * v * lam_mv +
+                  sv * jnp.stack([ksi_vx[a], ksi_vy[a]]) * lam_ksi)
+        # d/d(ksi): cost 200 sk^2 ksi; lines -adj sk lam; ksi-row -sk lam_ksi
+        grad_ksi = (200.0 * sk * sk * ksi - sk * jnp.dot(adj, lam_lines) -
+                    sk * lam_ksi)
+        grad = jnp.concatenate([grad_v, grad_ksi[None]])
+        return g, grad
 
     def human_lagrangian(self, params: MPCParams, xr, xh, uh_a, lam_a, a):
         """Lower-level Lagrangian L = cost + lam^T g of human a at one stage
@@ -334,10 +376,7 @@ class OCP:
             def per_hum(a):
                 uh_a = u_hums[k, a]
                 lam_a = lam[k, a]
-                grad = jax.grad(
-                    lambda u: self.human_lagrangian(params, xr, xh, u, lam_a, a)[0]
-                )(uh_a)
-                _, g = self.human_lagrangian(params, xr, xh, uh_a, lam_a, a)
+                g, grad = self.human_kkt_rows(params, xr, xh, uh_a, lam_a, a)
                 comp = lam_a * g - KKT_RHO
                 res = jnp.concatenate([grad, comp])
                 return res - SLACK_SCALING * slacks.kkt_eq[a]

@@ -96,9 +96,7 @@ def solve_human_step(ocp: OCP, params: MPCParams, xr, xh, a,
     # damped Newton on F(w, lam) = [grad_w L; lam * g - rho]
     def kkt_res(wl):
         w, lam = wl[:3], wl[3:]
-        grad = jax.grad(lambda ww: ocp.human_lagrangian(
-            params, xr, xh, ww, lam, a)[0])(w)
-        g = ocp.human_orca_g(params, xr, xh, w, a)
+        g, grad = ocp.human_kkt_rows(params, xr, xh, w, lam, a)
         return jnp.concatenate([grad, lam * g - KKT_RHO])
 
     def newton_step(wl, _):
