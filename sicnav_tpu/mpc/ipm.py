@@ -31,6 +31,7 @@ class IPMSettings:
     mu_init: float = 1e-1
     mu_min: float = 1e-9
     sigma: float = 0.2          # centering: mu <- sigma * s.T lam / m
+    mu_schedule: str = "adaptive"   # "adaptive" | "geometric"
     tau: float = 0.995          # fraction-to-boundary
     s_min: float = 1e-8
     lam_init: float = 0.1
@@ -98,7 +99,14 @@ def solve(f_fn: Callable, ceq_fn: Callable, cineq_fn: Callable,
     lam0 = jnp.clip(st.mu_init / s0, 1e-6, 1e3).astype(dtype)
     y0 = jnp.zeros((m_e,), dtype)
 
-    def step(state: IPMState, _):
+    if st.mu_schedule == "geometric":
+        # fixed geometric decay from mu_init to mu_min over n_iter
+        # (predictable for fixed-trip-count real-time iterations)
+        mu_decay = (st.mu_min / st.mu_init) ** (1.0 / max(st.n_iter - 1, 1))
+    else:
+        mu_decay = None
+
+    def step(state: IPMState, it):
         z, y, lam, s, delta, _ = state
 
         f_val = f_fn(z)
@@ -112,7 +120,10 @@ def solve(f_fn: Callable, ceq_fn: Callable, cineq_fn: Callable,
             c_e = jnp.zeros((0,), dtype)
             J_e = jnp.zeros((0, n), dtype)
 
-        mu = jnp.maximum(st.sigma * jnp.dot(s, lam) / m_i, st.mu_min)
+        if st.mu_schedule == "geometric":
+            mu = jnp.maximum(st.mu_init * mu_decay ** it, st.mu_min)
+        else:
+            mu = jnp.maximum(st.sigma * jnp.dot(s, lam) / m_i, st.mu_min)
 
         if st.exact_hessian:
             W = hess_l(z, y, lam)
@@ -187,7 +198,7 @@ def solve(f_fn: Callable, ceq_fn: Callable, cineq_fn: Callable,
     init = IPMState(z0, y0, lam0, s0,
                     jnp.asarray(st.delta_init, dtype),
                     jnp.asarray(jnp.inf, dtype))
-    final, trace = jax.lax.scan(step, init, None, length=st.n_iter)
+    final, trace = jax.lax.scan(step, init, jnp.arange(st.n_iter))
 
     c_e = ceq_fn(final.z) if m_e else jnp.zeros((0,), dtype)
     c_i = cineq_fn(final.z)

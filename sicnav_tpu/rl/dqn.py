@@ -79,6 +79,48 @@ def lookahead(state: SimState, actions: jnp.ndarray, cfg: EnvConfig):
     return jax.vmap(branch)(actions)
 
 
+def lookahead2(state: SimState, actions: jnp.ndarray, cfg: EnvConfig):
+    """Two-step lookahead (the rgl_multistep observation scheme,
+    crowd_sim_plus.RGL_multistep_input_complete:842-866): for every pair of
+    discrete actions (a, b), the state and reward after playing a then b.
+
+    Returns (robot_states (A, A, 9), human_states (A, A, H, 5),
+    rewards1 (A,), rewards2 (A, A), done1 (A,))."""
+    h_act = human_actions(state, cfg)
+
+    def branch(a):
+        s1, rew1, info1 = step_with_human_actions(state, a, h_act, cfg)
+        h_act2 = human_actions(s1, cfg)
+
+        def branch2(b):
+            s2, rew2, info2 = step_with_human_actions(s1, b, h_act2, cfg)
+            return (crowd_sim.robot_full_state(s2),
+                    crowd_sim.observable_human_states(s2)[0], rew2)
+
+        rs2, hs2, rew2 = jax.vmap(branch2)(actions)
+        return rs2, hs2, rew1, rew2, info1.done
+
+    rs2, hs2, rew1, rew2, done1 = jax.vmap(branch)(actions)
+    return rs2, hs2, rew1, rew2, done1
+
+
+def make_q2_fn(net, env_cfg: EnvConfig, dqn: DQNConfig, actions):
+    """Two-step Q for rgl_multistep:
+    Q(s, a) = r_a + g * max_b [ r_ab + g * V(s''_ab) ]."""
+    adj_gamma = dqn.gamma ** (env_cfg.dt * env_cfg.robot_v_pref)
+
+    def q_values(params, state: SimState):
+        rs2, hs2, rew1, rew2, done1 = lookahead2(state, actions, env_cfg)
+        A = actions.shape[0]
+        hmask = jnp.broadcast_to(state.h_mask[None, None],
+                                 (A, A) + state.h_mask.shape)
+        v2 = net.apply(params, rs2, hs2, hmask)          # (A, A)
+        q2 = rew2 + adj_gamma * v2
+        return rew1 + adj_gamma * jnp.where(done1, 0.0, jnp.max(q2, axis=-1))
+
+    return q_values
+
+
 class Transition(NamedTuple):
     robot: jnp.ndarray       # (9,)
     humans: jnp.ndarray      # (H, 5)

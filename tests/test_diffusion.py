@@ -102,13 +102,14 @@ def test_training_reduces_loss():
         model, jax.tree.map(lambda x: x[0], stacked), tc, 1)
     key = jax.random.PRNGKey(0)
     losses = []
-    for i in range(25):
+    for i in range(40):
         key, k = jax.random.split(key)
         params, opt, loss = train_step(model, tx, params, opt,
                                        jax.tree.map(jnp.asarray, stacked), k)
         losses.append(float(loss))
-    assert losses[-1] < losses[0]
     assert np.isfinite(losses).all()
+    # eps-MSE is noisy per step (random t, random noise): compare smoothed
+    assert np.mean(losses[-10:]) < np.mean(losses[:5])
 
 
 def test_forecaster_plumbing():
