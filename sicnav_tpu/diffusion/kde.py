@@ -16,27 +16,14 @@ import numpy as np
 
 def _kde_loglik(preds, bandwidth):
     """preds: (G, S, D) groups of S samples in D dims; bandwidth: (G,) or ().
-    Returns log-likelihood of each sample under the KDE of its group: (G, S)."""
-    G, S, D = preds.shape
-    n = jnp.float32(S)
-    bw = jnp.broadcast_to(jnp.asarray(bandwidth, jnp.float32), (G,))
+    Returns log-likelihood of each sample under the KDE of its group: (G, S).
 
-    mean = jnp.mean(preds, axis=1, keepdims=True)
-    diff = preds - mean
-    cov = jnp.einsum("gsd,gse->gde", diff, diff) / (n - 1)
-    scale_cov_inv = bw[:, None, None] ** -2 * cov
-    scale_cov_inv = scale_cov_inv + jnp.eye(D) * 1e-6
-    scale_cov = jnp.linalg.inv(scale_cov_inv)
-    L = jnp.linalg.cholesky(scale_cov)
-    L_inv = jnp.linalg.inv(L)
-
-    diffs = preds[:, :, None, :] - preds[:, None, :, :]       # (G, S, S, D)
-    white = jnp.einsum("gste,gde->gstd", diffs, L_inv) / bw[:, None, None, None]
-    log_exp = -0.5 * jnp.sum(white ** 2, axis=-1)             # (G, S, S)
-    log_det = 2.0 * jnp.sum(jnp.log(jnp.maximum(
-        jnp.diagonal(L, axis1=-2, axis2=-1), 1e-20)), axis=-1)  # (G,)
-    Z = (0.5 * D * jnp.log(2 * jnp.pi) + 0.5 * log_det[:, None] + jnp.log(n))
-    return jax.scipy.special.logsumexp(log_exp - Z[..., None], axis=-1)
+    Delegates to the fused implementation (ops/kde_pallas.py): the whitened
+    pairwise distances come from one S x S Gram matmul instead of
+    materializing the (G, S, S, D) difference tensor, with a Pallas TPU
+    kernel for the pairwise+logsumexp pass."""
+    from sicnav_tpu.ops.kde_pallas import kde_loglik_fused
+    return kde_loglik_fused(preds, bandwidth)
 
 
 def most_likely_samples(forecasts, num_ret_samples: int, joint: bool = True):

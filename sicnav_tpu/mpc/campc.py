@@ -41,10 +41,13 @@ def init_carry(ocp: OCP) -> CAMPCCarry:
                       num_prev_used=jnp.int32(0))
 
 
-def build_params(ocp: OCP, state: SimState, env_cfg: EnvConfig) -> MPCParams:
+def build_params(ocp: OCP, state: SimState, env_cfg: EnvConfig,
+                 mid_samples=None, mid_logw0=None) -> MPCParams:
     """SimState -> MPCParams, applying the privileged / unprivileged model
     view (campc.predict:1285-1330): unprivileged replaces human goals with a
-    2 s constant-velocity projection and v_pref with the configured bound."""
+    2 s constant-velocity projection and v_pref with the configured bound.
+    ``mid_samples`` (S, H, K+2, 2) / ``mid_logw0`` (S,) supply the MID
+    forecast grid when cfg.human_pred_mid is on."""
     cfg = ocp.cfg
     H = cfg.num_hums
     h = slice(0, H)
@@ -73,6 +76,14 @@ def build_params(ocp: OCP, state: SimState, env_cfg: EnvConfig) -> MPCParams:
 
     x_ref = jnp.tile(goal[None], (cfg.K + 1, 1))
     inflation = 0.01 + cfg.orca_params.safety_space
+    n_s = max(cfg.num_mid_samples, 1)
+    if mid_samples is None:
+        # dummy grid: constant-velocity continuation of the current state
+        steps = jnp.arange(cfg.K + 2)[None, :, None] * cfg.dt
+        cv = state.h_pos[h][:, None, :] + state.h_vel[h][:, None, :] * steps
+        mid_samples = jnp.broadcast_to(cv[None], (n_s, H, cfg.K + 2, 2))
+    if mid_logw0 is None:
+        mid_logw0 = jnp.full((n_s,), -jnp.log(n_s))
     return MPCParams(
         x0_rob=x0_rob, goal=goal, hums0=hums0,
         hum_radii=state.h_radius[h] + inflation,
@@ -81,7 +92,8 @@ def build_params(ocp: OCP, state: SimState, env_cfg: EnvConfig) -> MPCParams:
         rob_radius=state.r_radius,
         walls=state.walls[:cfg.num_walls],
         wall_mask=state.wall_mask[:cfg.num_walls],
-        x_ref=x_ref)
+        x_ref=x_ref,
+        mid_samples=mid_samples, mid_logw0=mid_logw0)
 
 
 def _shift_guess(ocp: OCP, z_prev, params: MPCParams):
@@ -105,10 +117,11 @@ def _shift_guess(ocp: OCP, z_prev, params: MPCParams):
 @functools.partial(jax.jit, static_argnames=("ocp", "env_cfg", "settings"))
 def campc_action(ocp: OCP, state: SimState, carry: CAMPCCarry,
                  env_cfg: EnvConfig,
-                 settings: ipm.IPMSettings = ipm.IPMSettings()):
+                 settings: ipm.IPMSettings = ipm.IPMSettings(),
+                 mid_samples=None, mid_logw0=None):
     """One CAMPC control step. Returns (action (2,) = (v, r=om*dt), carry')."""
     cfg = ocp.cfg
-    params = build_params(ocp, state, env_cfg)
+    params = build_params(ocp, state, env_cfg, mid_samples, mid_logw0)
 
     z_fresh = ocp.infer_slacks(WS.warmstart_horizon(ocp, params), params)
     z_shift = _shift_guess(ocp, jnp.where(carry.has_prev, carry.z_prev,

@@ -60,6 +60,10 @@ class MPCConfig:
     # cost (mpc_env.py:104-107 hardcoded)
     term_q_coeff: float = 100.0
     r_om: float = 0.1
+    # MID-driven human goals (SICNav-Diffusion, mpc_env_new.py:380-520)
+    human_pred_mid: bool = False
+    mid_stateful_weights: bool = True
+    num_mid_samples: int = 1
 
     @property
     def K(self):
@@ -91,8 +95,8 @@ class MPCConfig:
     @property
     def n_slack(self):
         # all classes always present: coll(H) + stat + bound + maxvel(H)
-        # + ksi(H) + acc + kkt_ineq(H) + kkt_eq(H)
-        return 5 * self.num_hums + 3 if self.soft_constraints else 0
+        # + ksi(H) + acc + kkt_ineq(H) + kkt_eq(H) + preds(H)
+        return 6 * self.num_hums + 3 if self.soft_constraints else 0
 
     @property
     def orca_params(self) -> OL.OrcaModelParams:
@@ -113,6 +117,11 @@ class MPCParams(NamedTuple):
     walls: jnp.ndarray        # (W, 2, 2)
     wall_mask: jnp.ndarray    # (W,)
     x_ref: jnp.ndarray        # (K+1, 2) reference robot positions
+    # MID forecast samples (joint weights): S samples x H humans x (K+2)
+    # horizon steps (step 0 = current time); dummy shape (1, H, K+2, 2)
+    # and logw0 = zeros when human_pred_mid is off
+    mid_samples: jnp.ndarray  # (S, H, K+2, 2)
+    mid_logw0: jnp.ndarray    # (S,) joint log-weights
 
 
 class Slacks(NamedTuple):
@@ -124,6 +133,7 @@ class Slacks(NamedTuple):
     acc: jnp.ndarray          # ()
     kkt_ineq: jnp.ndarray     # (H,)
     kkt_eq: jnp.ndarray       # (H,)
+    preds: jnp.ndarray        # (H,) hums-close-to-preds class
 
 
 def _build_jitter(cfg: MPCConfig):
@@ -168,11 +178,12 @@ class OCP:
                 ksi=s[2 * H + 2:3 * H + 2],
                 acc=s[3 * H + 2],
                 kkt_ineq=s[3 * H + 3:4 * H + 3],
-                kkt_eq=s[4 * H + 3:5 * H + 3])
+                kkt_eq=s[4 * H + 3:5 * H + 3],
+                preds=s[5 * H + 3:6 * H + 3])
         else:
             zero = jnp.zeros((), z.dtype)
             zH = jnp.zeros((cfg.num_hums,), z.dtype)
-            slacks = Slacks(zH, zero, zero, zH, zH, zero, zH, zH)
+            slacks = Slacks(zH, zero, zero, zH, zH, zero, zH, zH, zH)
         return u_rob, u_hums, lam, slacks
 
     def pack(self, u_rob, u_hums, lam, slacks: Slacks):
@@ -183,7 +194,7 @@ class OCP:
         if cfg.soft_constraints:
             parts += [slacks.coll, slacks.stat[None], slacks.bound[None],
                       slacks.maxvel, slacks.ksi, slacks.acc[None],
-                      slacks.kkt_ineq, slacks.kkt_eq]
+                      slacks.kkt_ineq, slacks.kkt_eq, slacks.preds]
         return jnp.concatenate(parts)
 
     # ------------------------------------------------------------ dynamics
@@ -197,13 +208,18 @@ class OCP:
 
         Robot: unicycle with lookahead heading (mpc_env.gen_kin_model:315-345).
         Humans: position integrates the decision velocity (KKT model,
-        mpc_env.get_ORCA_human_dynamics_eqn:380-520) or CVMM."""
+        mpc_env.get_ORCA_human_dynamics_eqn) or CVMM. With
+        ``human_pred_mid`` on, the human goal slots evolve through the
+        horizon via the stateful joint MID-sample log-weight dynamics
+        (mpc_env_new.py:380-520): weights update by the clipped
+        -2^10 * mean-over-humans squared distance of next positions to the
+        samples, and the goal is the weight-averaged next-step sample."""
         cfg = self.cfg
         dt = cfg.dt
         sv = cfg.orca_vxy_scaling
 
         def body(carry, k):
-            xr, xh = carry
+            xr, xh, logw = carry
             v, om = u_rob[k, 0], u_rob[k, 1]
             th_next = xr[2] + dt * om
             xr_next = jnp.stack([
@@ -215,11 +231,28 @@ class OCP:
                 vel = sv * uh[:, :2]
             else:
                 vel = xh[:, 2:4]
-            xh_next = jnp.concatenate(
-                [xh[:, :2] + vel * dt, vel, xh[:, 4:6]], axis=-1)
-            return (xr_next, xh_next), (xr_next, xh_next)
+            p_next = xh[:, :2] + vel * dt
+            if cfg.human_pred_mid:
+                # samples aligned with the NEXT positions (stage k+1)
+                S_t = params.mid_samples[:, :, k + 1]    # (S, H, 2)
+                d2 = jnp.sum((S_t - p_next[None]) ** 2, axis=-1)  # (S, H)
+                avg_d2 = jnp.mean(d2, axis=1)            # joint: mean over hums
+                lw = jnp.maximum(-(2.0 ** 10) * avg_d2, -20.0)
+                lw = lw - jax.scipy.special.logsumexp(lw)
+                if cfg.mid_stateful_weights:
+                    lw = logw + lw
+                    lw = lw - jax.scipy.special.logsumexp(lw)
+                w = jnp.maximum(jnp.exp(lw), 1e-10)
+                goals = jnp.einsum("s,she->he", w,
+                                   params.mid_samples[:, :, k + 2])
+                logw_next = lw
+            else:
+                goals = xh[:, 4:6]
+                logw_next = logw
+            xh_next = jnp.concatenate([p_next, vel, goals], axis=-1)
+            return (xr_next, xh_next, logw_next), (xr_next, xh_next)
 
-        init = (params.x0_rob, params.hums0)
+        init = (params.x0_rob, params.hums0, params.mid_logw0)
         _, (xr_traj, xh_traj) = jax.lax.scan(body, init, jnp.arange(cfg.K))
         X_rob = jnp.concatenate([params.x0_rob[None], xr_traj], axis=0)
         X_hums = jnp.concatenate([params.hums0[None], xh_traj], axis=0)
@@ -252,6 +285,7 @@ class OCP:
         tot += K * c * (sc * slacks.acc) ** 2
         tot += jnp.sum(101.0 * Ko * c * (sc * slacks.kkt_ineq) ** 2)
         tot += jnp.sum(0.1 * Ko * c * (sc * slacks.kkt_eq) ** 2)
+        tot += jnp.sum(K * c * (sc * slacks.preds) ** 2)
         return tot
 
     def cost(self, z, params: MPCParams):
@@ -460,6 +494,25 @@ class OCP:
                 return jax.vmap(per_hum)(jnp.arange(H))
 
             g["kkt"] = jax.vmap(kkt_stage)(jnp.arange(Ko))  # (Ko, H, 2*n_lam)
+
+        if cfg.human_pred_mid:
+            # hums-close-to-preds (mpc_env_new.get_hums_close_to_preds
+            # _constraints:1454-1528): per stage, each human's next position
+            # must lie within sqrt(0.5 * max-NN-spread^2) of its closest
+            # sample; degenerate (identical-sample) spread relaxes to 10.
+            def preds_row(k):
+                S_t = params.mid_samples[:, :, k + 1]        # (S, H, 2)
+                p_next = X_hums[k + 1, :, :2]                # (H, 2)
+                d2 = jnp.sum((S_t - p_next[None]) ** 2, -1)  # (S, H)
+                closest = jnp.min(d2, axis=0)                # (H,)
+                pair = jnp.sum((S_t[:, None] - S_t[None, :]) ** 2, -1)
+                nS = pair.shape[0]
+                pair = pair + jnp.eye(nS)[:, :, None] * 1e9  # exclude self
+                nn = jnp.min(pair, axis=1)                   # (S, H)
+                max_nn = jnp.max(nn, axis=0)                 # (H,)
+                max_nn = jnp.where(max_nn > 1e-3, max_nn, 10.0)
+                return closest - 0.5 * max_nn
+            g["preds"] = jax.vmap(preds_row)(jnp.arange(K))  # (K, H)
         return g
 
     def ineq_residuals(self, z, params: MPCParams):
@@ -480,10 +533,12 @@ class OCP:
                 (g["ksi"] - sc * slacks.ksi[None, :]).ravel(),
                 (g["kkt"] - sc * slacks.kkt_ineq[None, :, None]).ravel(),
             ]
+        if cfg.human_pred_mid:
+            rows.append((g["preds"] - sc * slacks.preds[None, :]).ravel())
         if cfg.soft_constraints:
             rows += [-slacks.coll, -slacks.stat[None], -slacks.bound[None],
                      -slacks.maxvel, -slacks.ksi, -slacks.acc[None],
-                     -slacks.kkt_ineq]
+                     -slacks.kkt_ineq, -slacks.preds]
         return jnp.concatenate(rows)
 
     def infer_slacks(self, z, params: MPCParams):
@@ -509,7 +564,9 @@ class OCP:
             acc=pos_max(g["acc"]),
             kkt_ineq=pos_max(g["kkt"], axis=(0, 2)) if cfg.kkt
             else jnp.zeros(cfg.num_hums),
-            kkt_eq=jnp.zeros(cfg.num_hums))
+            kkt_eq=jnp.zeros(cfg.num_hums),
+            preds=pos_max(g["preds"], axis=0) if cfg.human_pred_mid
+            else jnp.zeros(cfg.num_hums))
         z2 = self.pack(u_rob, u_hums, lam, slacks)
         if cfg.kkt:
             # eq slacks: mean residual per human (free sign, L2-penalized)
@@ -534,6 +591,8 @@ class OCP:
         n = (K + 1) * H + (K + 1) * W + 2 * 2 * K + 3 * K
         if cfg.kkt:
             n += 2 * K * H + 2 * Ko * H * cfg.n_lam
+        if cfg.human_pred_mid:
+            n += K * H
         if cfg.soft_constraints:
-            n += 4 * H + 3
+            n += 5 * H + 3
         return n

@@ -8,11 +8,12 @@ into the MPC's human-goal model (weighted sample average — the
 bilevel MPC. One control step is one jitted program; the <100 ms/step
 budget comes from the diffusion scan + the batched IPM sharing the chip.
 
-Round-1 scope notes (v. mpc_env_new.py): the human goals are the
-log-weight-averaged top-k samples at t+1 recomputed per control step; the
-reference's *stateful* per-stage sample-weight dynamics
-(get_ORCA_human_dynamics_eqn:380-520) and the close-to-preds soft
-constraint (:1454-1528) are not yet ported.
+The OCP runs with ``human_pred_mid``: the human goal slots evolve through
+the horizon via the stateful joint sample-weight dynamics
+(mpc_env_new.get_ORCA_human_dynamics_eqn:380-520) and the
+hums-close-to-preds soft constraint (:1454-1528) bounds the embedded ORCA
+solutions to the sample cloud. Remaining gaps vs the RA-L controller: the
+8-dim sin/cos-heading robot state and the capsule robot collision model.
 """
 
 from __future__ import annotations
@@ -68,10 +69,22 @@ def sicnav_diffusion_action(ocp: OCP, model: JMIDModel, mid_params,
                                            k_fc, fcfg)
     goals = weighted_goals(forecasts, log_w)
 
+    # MID sample grid for the OCP: (S, H, K+2, 2); pad the forecast horizon
+    # with its last step if the MPC horizon reaches past it
+    K = ocp.cfg.K
+    fc = jnp.transpose(forecasts, (1, 0, 2, 3))       # (S, H, T+1, 2)
+    T = fc.shape[2]
+    if T < K + 2:
+        fc = jnp.concatenate(
+            [fc, jnp.repeat(fc[:, :, -1:], K + 2 - T, axis=2)], axis=2)
+    mid_samples = fc[:, :, :K + 2]
+    mid_logw0 = log_w[0]                              # joint weights
+
     # feed the MPC a state whose human goals come from the forecaster
     mpc_view = state._replace(h_goal=goals)
     action, mpc_carry = C.campc_action(ocp, mpc_view, carry.mpc, env_cfg,
-                                       settings)
+                                       settings, mid_samples=mid_samples,
+                                       mid_logw0=mid_logw0)
     return action, SICNavDiffCarry(mpc=mpc_carry, forecaster=fstate, key=key)
 
 
@@ -80,13 +93,16 @@ def make_policy(env_cfg: EnvConfig, model: JMIDModel, mid_params,
                 settings: ipm.IPMSettings = None):
     """Build (ocp, policy_fn): policy_fn(state, carry) -> (action, carry)."""
     from sicnav_tpu.mpc.ocp import MPCConfig
-    if mpc_cfg is None:
-        # MID-driven goals are handled as privileged goals in the model view
-        mpc_cfg = MPCConfig(num_hums=env_cfg.max_humans,
-                            num_walls=env_cfg.wall_slots,
-                            dt=env_cfg.dt, priviledged_info=True)
     if fcfg is None:
         fcfg = FC.ForecasterConfig(dt=env_cfg.dt)
+    if mpc_cfg is None:
+        # MID-driven human model: evolving weighted-sample goals + the
+        # close-to-preds constraint (privileged view: goals from forecasts)
+        mpc_cfg = MPCConfig(num_hums=env_cfg.max_humans,
+                            num_walls=env_cfg.wall_slots,
+                            dt=env_cfg.dt, priviledged_info=True,
+                            human_pred_mid=True,
+                            num_mid_samples=fcfg.num_ret_samples)
     if settings is None:
         settings = ipm.IPMSettings()
     ocp = OCP(mpc_cfg)

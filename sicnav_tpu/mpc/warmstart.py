@@ -200,5 +200,5 @@ def warmstart_horizon(ocp: OCP, params: MPCParams):
     H_ = cfg.num_hums
     zero = jnp.zeros(())
     zH = jnp.zeros((H_,))
-    slacks = Slacks(zH, zero, zero, zH, zH, zero, zH, zH)
+    slacks = Slacks(zH, zero, zero, zH, zH, zero, zH, zH, zH)
     return ocp.pack(u_rob, u_hums[:cfg.K_orca], lam[:cfg.K_orca], slacks)

@@ -11,3 +11,10 @@ xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8").strip()
+
+
+def pytest_configure(config):
+    # persistent XLA compile cache: the MPC test compiles dominate suite
+    # time on first run and are fully cached afterwards
+    from sicnav_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
