@@ -43,6 +43,27 @@ class IPMSettings:
     exact_hessian: bool = True
 
 
+def realtime_settings(num_hums: int, with_mid: bool = False,
+                      base: IPMSettings = None) -> IPMSettings:
+    """Per-crowd-size iteration caps, mirroring the reference's Acados
+    real-time tuning ("To run at 10 Hz", campc_acados_opt.py:411-439):
+    smaller crowds afford more solver iterations per control period.
+
+    The reference caps (SQP iters x QP iters) map onto total interior-point
+    iterations here; MID-conditioned problems get the slightly tighter
+    with-samples table."""
+    import dataclasses
+    if base is None:
+        base = IPMSettings()
+    if with_mid:
+        table = {1: 40, 2: 32, 3: 24}
+        n = table.get(num_hums, 18)
+    else:
+        table = {1: 40, 2: 34, 3: 25}
+        n = table.get(num_hums, 16)
+    return dataclasses.replace(base, n_iter=n)
+
+
 class IPMState(NamedTuple):
     z: jnp.ndarray
     y: jnp.ndarray       # eq multipliers

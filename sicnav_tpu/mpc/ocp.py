@@ -64,6 +64,13 @@ class MPCConfig:
     human_pred_mid: bool = False
     mid_stateful_weights: bool = True
     num_mid_samples: int = 1
+    # robot capsule collision model (mpc_env_new.get_rob_coll_capsule:971;
+    # buffers from policy.config rob_len_buffer / rob_wid_buffer)
+    robot_capsule: bool = False
+    rob_len: float = 0.5
+    rob_wid: float = 0.5
+    rob_len_buffer: float = 0.2
+    rob_wid_buffer: float = 0.05
 
     @property
     def K(self):
@@ -430,11 +437,30 @@ class OCP:
         X_rob, X_hums = self.rollout(params, u_rob, u_hums)
         g = {}
 
-        # robot-human collision, stages 0..K (mpc_env.get_mpc_coll_constraints)
-        comb = (params.hum_coll_radii + params.rob_radius +
-                cfg.rob_rad_buffer + 0.01)               # (H,)
-        d = X_rob[:, None, :2] - X_hums[:, :, :2]        # (K+1, H, 2)
-        g["coll"] = -(jnp.sum(d * d, -1) - comb[None, :] ** 2)   # (K+1, H)
+        # robot-human collision, stages 0..K
+        if cfg.robot_capsule:
+            # robot as a heading-aligned capsule (mpc_env_new.py:971):
+            # human centers keep clear of the length-wise center segment
+            half_len = 0.5 * (cfg.rob_len + cfg.rob_len_buffer)
+            comb = (params.hum_coll_radii[None, :] +
+                    0.5 * (cfg.rob_wid + cfg.rob_wid_buffer) + 0.01)
+            heading = jnp.stack([jnp.cos(X_rob[:, 2]),
+                                 jnp.sin(X_rob[:, 2])], -1)   # (K+1, 2)
+            a0 = X_rob[:, :2] - half_len * heading
+            seg = 2.0 * half_len * heading
+            w_vec = X_hums[:, :, :2] - a0[:, None, :]          # (K+1, H, 2)
+            t = jnp.clip(jnp.sum(w_vec * seg[:, None, :], -1) /
+                         jnp.maximum(jnp.sum(seg * seg, -1), 1e-9)[:, None],
+                         0.0, 1.0)
+            cp = a0[:, None, :] + t[..., None] * seg[:, None, :]
+            d = X_hums[:, :, :2] - cp
+            g["coll"] = -(jnp.sum(d * d, -1) - comb ** 2)      # (K+1, H)
+        else:
+            # circle model (mpc_env.get_mpc_coll_constraints)
+            comb = (params.hum_coll_radii + params.rob_radius +
+                    cfg.rob_rad_buffer + 0.01)           # (H,)
+            d = X_rob[:, None, :2] - X_hums[:, :, :2]    # (K+1, H, 2)
+            g["coll"] = -(jnp.sum(d * d, -1) - comb[None, :] ** 2)  # (K+1, H)
 
         # robot-wall capsule, stages 0..K; buffer rule (mpc_env.py:364-375)
         rob_r = params.rob_radius

@@ -118,3 +118,50 @@ def test_campc_cvmm_moves_toward_goal():
     # robot starts at rest facing the goal: expect forward accel, small turn
     assert 0.0 < a[0] <= MPC.max_l_acc * ENV.dt + 1e-5
     assert abs(a[1]) <= MPC.max_rot * ENV.dt + 1e-5
+
+
+def test_mid_weight_dynamics_and_preds_constraint():
+    """human_pred_mid: goals track weighted samples; preds rows sized."""
+    import numpy as np
+    cfg = MPCConfig(num_hums=2, num_walls=1, priviledged_info=True,
+                    human_pred_mid=True, num_mid_samples=4)
+    ocp2 = OCP(cfg)
+    state = CS.reset_host(ENV, case=1)
+    rng = np.random.default_rng(0)
+    steps = np.arange(cfg.K + 2)[None, None, :, None] * 0.25
+    cv = (np.asarray(state.h_pos)[None, :, None, :] +
+          np.asarray(state.h_vel)[None, :, None, :] * steps)
+    samples = jnp.asarray(cv + rng.normal(0, 0.1, (4, 2, cfg.K + 2, 2)),
+                          jnp.float32)
+    logw0 = jnp.log(jnp.ones(4) / 4)
+    params = C.build_params(ocp2, state, ENV, samples, logw0)
+
+    ci = ocp2.ineq_residuals(jnp.zeros(cfg.n_z), params)
+    assert ci.shape[0] == ocp2.n_ineq
+
+    u_rob = jnp.zeros((cfg.K, 2))
+    u_hums = jnp.zeros((cfg.K_orca, 2, 3))
+    _, X_hums = ocp2.rollout(params, u_rob, u_hums)
+    # stage-k goals approximate the sample mean at k+2 (near-uniform weights)
+    want = np.asarray(samples[:, :, 3].mean(0))
+    got = np.asarray(X_hums[1, :, 4:6])
+    assert np.linalg.norm(got - want) < 0.5
+
+
+def test_capsule_collision_rows():
+    cfg = MPCConfig(num_hums=2, num_walls=1, priviledged_info=True,
+                    robot_capsule=True)
+    ocp2 = OCP(cfg)
+    state = CS.reset_host(ENV, case=1)
+    params = C.build_params(ocp2, state, ENV)
+    g = ocp2._ineq_groups(jnp.zeros(cfg.n_z), params)
+    assert g["coll"].shape == (cfg.K + 1, 2)
+    assert bool(jnp.all(jnp.isfinite(g["coll"])))
+
+
+def test_realtime_settings_table():
+    s1 = ipm.realtime_settings(1)
+    s4 = ipm.realtime_settings(4)
+    assert s1.n_iter > s4.n_iter
+    sm = ipm.realtime_settings(3, with_mid=True)
+    assert sm.n_iter > 0
