@@ -58,8 +58,17 @@ def build_params(ocp: OCP, state: SimState, env_cfg: EnvConfig,
     speed = norm2(v)
     v_signed = jnp.where(speed < 1e-9, 0.0,
                          jnp.where(aligned, speed, -speed))
-    x0_rob = jnp.stack([state.r_pos[0], state.r_pos[1], state.r_theta,
-                        v_signed])
+    if cfg.robot_nx == 8:
+        # RA-L state (mpc_env_new.py:620-660); the accel entries are only
+        # cost terms at stage 0 and start from the measured rates
+        x0_rob = jnp.stack([
+            state.r_pos[0], state.r_pos[1],
+            jnp.sin(state.r_theta), jnp.cos(state.r_theta),
+            v_signed, state.r_omega,
+            jnp.float32(0.0), jnp.float32(0.0)])
+    else:
+        x0_rob = jnp.stack([state.r_pos[0], state.r_pos[1], state.r_theta,
+                            v_signed])
 
     if cfg.priviledged_info:
         goals = state.h_goal[h]
@@ -74,7 +83,16 @@ def build_params(ocp: OCP, state: SimState, env_cfg: EnvConfig,
     goal = intermediate_goals(state.r_pos[None], state.r_goal[None],
                               state.door)[0]
 
-    x_ref = jnp.tile(goal[None], (cfg.K + 1, 1))
+    if cfg.robot_nx == 8:
+        # reference includes the goal heading (sin/cos); driving toward the
+        # goal direction subsumes the rotate-in-place phase via q_theta
+        to_goal = goal - state.r_pos
+        ref_th = jnp.arctan2(to_goal[1], to_goal[0])
+        x_ref = jnp.tile(jnp.concatenate(
+            [goal, jnp.sin(ref_th)[None], jnp.cos(ref_th)[None]])[None],
+            (cfg.K + 1, 1))
+    else:
+        x_ref = jnp.tile(goal[None], (cfg.K + 1, 1))
     inflation = 0.01 + cfg.orca_params.safety_space
     n_s = max(cfg.num_mid_samples, 1)
     if mid_samples is None:
@@ -147,7 +165,7 @@ def campc_action(ocp: OCP, state: SimState, carry: CAMPCCarry,
     # emergency brake if even the guess is broken (:754-786)
     guess_ok = jnp.all(jnp.isfinite(z_guess))
     u_rob, _, _, _ = ocp.unpack(z_used)
-    v_brake = jnp.maximum(params.x0_rob[3] + cfg.max_l_dcc * cfg.dt, 0.0)
+    v_brake = jnp.maximum(ocp.rob_v_prev(params.x0_rob) + cfg.max_l_dcc * cfg.dt, 0.0)
     action_u = jnp.where(guess_ok | ~use_guess, u_rob[0],
                          jnp.stack([v_brake, jnp.float32(0.0)]))
 

@@ -57,9 +57,22 @@ class MPCConfig:
     orca_time_horizon: float = 2.5
     orca_time_horizon_obst: float = 1.5
     dt: float = 0.25
-    # cost (mpc_env.py:104-107 hardcoded)
+    # cost: T-RO hardcoded weights (mpc_env.py:104-107); the RA-L 8-state
+    # mode uses the diag-parameterized weights of policy.config
+    # (mpc_env_new.get_cost_eqn:320-351)
     term_q_coeff: float = 100.0
     r_om: float = 0.1
+    # robot state model: 4 = T-RO [x,y,th,v_prev]; 8 = RA-L
+    # [x,y,sin th,cos th,v_prev,om_prev,vdot,omdot] (mpc_env_new.py:620-660)
+    robot_nx: int = 4
+    q_x: float = 1.0
+    q_y: float = 1.0
+    q_theta: float = 0.05
+    q_v_prev: float = 2.5
+    q_om_prev: float = 0.0
+    q_v_prev_dot: float = 3.5
+    q_om_prev_dot: float = 0.1
+    term_q_theta: float = 2.0
     # MID-driven human goals (SICNav-Diffusion, mpc_env_new.py:380-520)
     human_pred_mid: bool = False
     mid_stateful_weights: bool = True
@@ -228,11 +241,22 @@ class OCP:
         def body(carry, k):
             xr, xh, logw = carry
             v, om = u_rob[k, 0], u_rob[k, 1]
-            th_next = xr[2] + dt * om
-            xr_next = jnp.stack([
-                xr[0] + dt * v * jnp.cos(th_next),
-                xr[1] + dt * v * jnp.sin(th_next),
-                th_next, v])
+            if cfg.robot_nx == 8:
+                # RA-L sin/cos-heading model (mpc_env_new.py:649-660)
+                s, c = xr[2], xr[3]
+                s_next = s * jnp.cos(om * dt) + c * jnp.sin(om * dt)
+                c_next = c * jnp.cos(om * dt) - s * jnp.sin(om * dt)
+                xr_next = jnp.stack([
+                    xr[0] + dt * v * c_next,
+                    xr[1] + dt * v * s_next,
+                    s_next, c_next, v, om,
+                    (v - xr[4]) / dt, (om - xr[5]) / dt])
+            else:
+                th_next = xr[2] + dt * om
+                xr_next = jnp.stack([
+                    xr[0] + dt * v * jnp.cos(th_next),
+                    xr[1] + dt * v * jnp.sin(th_next),
+                    th_next, v])
             if cfg.kkt:
                 uh = self.u_hums_at(u_hums, k)          # (H, 3)
                 vel = sv * uh[:, :2]
@@ -267,10 +291,31 @@ class OCP:
 
     # ---------------------------------------------------------------- cost
     def tracking_cost(self, params: MPCParams, X_rob, u_rob):
-        """0.5 |p_k - p_ref|^2 (+ terminal coeff) + 0.5 r_om om^2
-        (mpc_env.py:104-107)."""
+        """T-RO: 0.5 |p_k - p_ref|^2 (+ terminal coeff) + 0.5 r_om om^2
+        (mpc_env.py:104-107). RA-L 8-state: diag-weighted residual with the
+        sin(th - th_ref) heading term and accel-state penalties
+        (mpc_env_new.get_cost_eqn:320-351; x_ref columns [x, y, sin, cos])."""
         cfg = self.cfg
-        dp = X_rob[:, :2] - params.x_ref                # (K+1, 2)
+        if cfg.robot_nx == 8:
+            dp = X_rob[:, :2] - params.x_ref[:, :2]
+            # sin(th - th_ref) = sin cos_r - cos sin_r
+            sin_res = (X_rob[:, 2] * params.x_ref[:, 3] -
+                       X_rob[:, 3] * params.x_ref[:, 2])
+            w_pos = jnp.concatenate([jnp.ones(cfg.K),
+                                     jnp.array([cfg.term_q_coeff])])
+            w_th = jnp.concatenate([jnp.full(cfg.K, cfg.q_theta),
+                                    jnp.array([cfg.term_q_theta])])
+            cost = 0.5 * jnp.sum(
+                w_pos * (cfg.q_x * dp[:, 0] ** 2 + cfg.q_y * dp[:, 1] ** 2))
+            cost = cost + 0.5 * jnp.sum(w_th * sin_res ** 2)
+            cost = cost + 0.5 * jnp.sum(
+                cfg.q_v_prev * X_rob[:, 4] ** 2 +
+                cfg.q_om_prev * X_rob[:, 5] ** 2 +
+                cfg.q_v_prev_dot * X_rob[:, 6] ** 2 +
+                cfg.q_om_prev_dot * X_rob[:, 7] ** 2)
+            cost = cost + 0.5 * cfg.r_om * jnp.sum(u_rob[:, 1] ** 2)
+            return cost
+        dp = X_rob[:, :2] - params.x_ref[:, :2]         # (K+1, 2)
         w = jnp.concatenate([jnp.ones(cfg.K), jnp.array([cfg.term_q_coeff])])
         cost = 0.5 * jnp.sum(w * jnp.sum(dp * dp, axis=-1))
         cost = cost + 0.5 * cfg.r_om * jnp.sum(u_rob[:, 1] ** 2)
@@ -306,6 +351,20 @@ class OCP:
         X_rob, _ = self.rollout(params, u_rob, u_hums)
         return self.tracking_cost(params, X_rob, u_rob)
 
+    # ------------------------------------------------------ robot accessors
+    def rob_heading(self, xr):
+        """(sin th, cos th) of the robot state in either mode."""
+        if self.cfg.robot_nx == 8:
+            return xr[2], xr[3]
+        return jnp.sin(xr[2]), jnp.cos(xr[2])
+
+    def rob_v_prev(self, xr):
+        return xr[4] if self.cfg.robot_nx == 8 else xr[3]
+
+    def rob_vel(self, xr):
+        s, c = self.rob_heading(xr)
+        return self.rob_v_prev(xr) * jnp.stack([c, s])
+
     # ------------------------------------------------- human ORCA geometry
     def human_lines(self, params: MPCParams, xr, xh, a):
         """All (n_lam - 2) half-plane rows of human ``a``'s relaxed-ORCA
@@ -321,7 +380,7 @@ class OCP:
         vel_a = xh[a, 2:4]
         rad_a = params.hum_radii[a]
         rob_pos = xr[:2]
-        rob_vel = xr[3] * jnp.stack([jnp.cos(xr[2]), jnp.sin(xr[2])])
+        rob_vel = self.rob_vel(xr)
 
         def pair_row(b):
             is_rob = b == a      # slot a repurposed for the robot
@@ -444,8 +503,11 @@ class OCP:
             half_len = 0.5 * (cfg.rob_len + cfg.rob_len_buffer)
             comb = (params.hum_coll_radii[None, :] +
                     0.5 * (cfg.rob_wid + cfg.rob_wid_buffer) + 0.01)
-            heading = jnp.stack([jnp.cos(X_rob[:, 2]),
-                                 jnp.sin(X_rob[:, 2])], -1)   # (K+1, 2)
+            if cfg.robot_nx == 8:
+                heading = jnp.stack([X_rob[:, 3], X_rob[:, 2]], -1)
+            else:
+                heading = jnp.stack([jnp.cos(X_rob[:, 2]),
+                                     jnp.sin(X_rob[:, 2])], -1)  # (K+1, 2)
             a0 = X_rob[:, :2] - half_len * heading
             seg = 2.0 * half_len * heading
             w_vec = X_hums[:, :, :2] - a0[:, None, :]          # (K+1, H, 2)
@@ -488,7 +550,7 @@ class OCP:
                                       (lb[None] - u_rob).ravel()])
 
         # accel constraints (mpc_env.get_kin_acc_constraint)
-        v_prev = X_rob[:K, 3]
+        v_prev = X_rob[:K, 4] if cfg.robot_nx == 8 else X_rob[:K, 3]
         v_u = u_rob[:, 0]
         diff = jnp.abs(v_u) - jnp.abs(v_prev)
         upper = diff - cfg.max_l_acc * cfg.dt

@@ -30,7 +30,7 @@ def _human_lines(ocp: OCP, params: MPCParams, xr, xh, a):
     pos_a, vel_a = xh[a, :2], xh[a, 2:4]
     rad_a = params.hum_radii[a]
     rob_pos = xr[:2]
-    rob_vel = xr[3] * jnp.stack([jnp.cos(xr[2]), jnp.sin(xr[2])])
+    rob_vel = ocp.rob_vel(xr)
 
     def pair(b):
         is_rob = b == a
@@ -122,7 +122,7 @@ def robot_warmstart_velocity(ocp: OCP, params: MPCParams, xr, xh):
     cfg = ocp.cfg
     op = cfg.orca_params
     pos = xr[:2]
-    vel = xr[3] * jnp.stack([jnp.cos(xr[2]), jnp.sin(xr[2])])
+    vel = ocp.rob_vel(xr)
     rad = params.rob_radius
 
     def pair(b):
@@ -157,12 +157,14 @@ def _vel_to_unicycle(ocp: OCP, xr, v_des):
     """Convert a desired holonomic velocity into feasible (v, om): rotate
     toward the desired heading within max_rot, speed within accel limits."""
     cfg = ocp.cfg
+    s, c = ocp.rob_heading(xr)
+    th = jnp.arctan2(s, c)
     des_th = jnp.arctan2(v_des[1], v_des[0])
-    dth = jnp.arctan2(jnp.sin(des_th - xr[2]), jnp.cos(des_th - xr[2]))
+    dth = jnp.arctan2(jnp.sin(des_th - th), jnp.cos(des_th - th))
     om = jnp.clip(dth / cfg.dt, -cfg.max_rot + 0.001, cfg.max_rot)
     sp = norm2(v_des) * jnp.cos(jnp.clip(dth, -jnp.pi / 2, jnp.pi / 2))
     sp = jnp.maximum(sp, 0.0)
-    v_prev = xr[3]
+    v_prev = ocp.rob_v_prev(xr)
     sp = jnp.clip(sp, jnp.maximum(v_prev + cfg.max_l_dcc * cfg.dt, 0.0),
                   jnp.minimum(v_prev + cfg.max_l_acc * cfg.dt, cfg.max_speed))
     return jnp.stack([sp, om])
@@ -184,12 +186,23 @@ def warmstart_horizon(ocp: OCP, params: MPCParams):
         uh, lam = jax.vmap(lambda a: solve_human_step(ocp, params, xr, xh, a))(
             jnp.arange(H))
 
-        # integrate
-        th_next = xr[2] + cfg.dt * u_rob[1]
-        xr_next = jnp.stack([
-            xr[0] + cfg.dt * u_rob[0] * jnp.cos(th_next),
-            xr[1] + cfg.dt * u_rob[0] * jnp.sin(th_next),
-            th_next, u_rob[0]])
+        # integrate (matching the OCP's robot model)
+        if cfg.robot_nx == 8:
+            s, c = xr[2], xr[3]
+            om, dt = u_rob[1], cfg.dt
+            s_next = s * jnp.cos(om * dt) + c * jnp.sin(om * dt)
+            c_next = c * jnp.cos(om * dt) - s * jnp.sin(om * dt)
+            xr_next = jnp.stack([
+                xr[0] + dt * u_rob[0] * c_next,
+                xr[1] + dt * u_rob[0] * s_next,
+                s_next, c_next, u_rob[0], om,
+                (u_rob[0] - xr[4]) / dt, (om - xr[5]) / dt])
+        else:
+            th_next = xr[2] + cfg.dt * u_rob[1]
+            xr_next = jnp.stack([
+                xr[0] + cfg.dt * u_rob[0] * jnp.cos(th_next),
+                xr[1] + cfg.dt * u_rob[0] * jnp.sin(th_next),
+                th_next, u_rob[0]])
         vel = cfg.orca_vxy_scaling * uh[:, :2]
         xh_next = jnp.concatenate([xh[:, :2] + vel * cfg.dt, vel, xh[:, 4:6]], -1)
         return (xr_next, xh_next), (u_rob, uh, lam)

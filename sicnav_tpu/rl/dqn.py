@@ -239,8 +239,15 @@ def make_collect_step(net, env_cfg: EnvConfig, dqn: DQNConfig, actions):
 
 def train(net, env_cfg: EnvConfig, dqn: DQNConfig = DQNConfig(),
           n_envs: int = 32, seed: int = 0, total_steps: int = None,
-          init_params=None, log_every: int = 200):
-    """Full DQN training loop. Returns (params, metrics history)."""
+          init_params=None, log_every: int = 200, log_dir: str = None):
+    """Full DQN training loop. Returns (params, metrics history).
+
+    ``log_dir`` streams JSONL metrics (utils/metrics.MetricsLogger — the
+    tensorboard-callback replacement)."""
+    logger = None
+    if log_dir is not None:
+        from sicnav_tpu.utils.metrics import MetricsLogger
+        logger = MetricsLogger(log_dir, "dqn")
     actions = build_action_space(env_cfg, dqn)
     key = jax.random.PRNGKey(seed)
     key, k_init, k_env = jax.random.split(key, 3)
@@ -277,6 +284,13 @@ def train(net, env_cfg: EnvConfig, dqn: DQNConfig = DQNConfig(),
             if (step_count // n_envs) % dqn.target_update_interval == 0:
                 target_params = params
             if (step_count // n_envs) % log_every == 0:
-                history.append({"step": step_count, "loss": float(loss),
-                                "eps": float(epsilon(step_count, dqn))})
+                rec = {"step": step_count, "loss": float(loss),
+                       "eps": float(epsilon(step_count, dqn)),
+                       "reward_mean": float(jnp.mean(trans.reward)),
+                       "done_rate": float(jnp.mean(trans.done))}
+                history.append(rec)
+                if logger is not None:
+                    logger.log(**rec)
+    if logger is not None:
+        logger.close()
     return params, history

@@ -136,3 +136,29 @@ def test_forecaster_plumbing():
     np.testing.assert_allclose(np.asarray(fc[:, 0, 0]),
                                np.asarray(state.h_pos), atol=1e-5)
     assert np.isfinite(np.asarray(fc)).all()
+
+
+def test_baseline_forecasts():
+    from sicnav_tpu.diffusion import baselines as B
+    pos = jnp.array([[0.0, 0.0], [1.0, 0.0]])
+    vel = jnp.array([[1.0, 0.0], [-1.0, 0.0]])
+    st = B.standing_forecast(pos, 4)
+    np.testing.assert_allclose(np.asarray(st[:, -1]), np.asarray(pos))
+    cv = B.constant_velocity_forecast(pos, vel, 0.25, 4)
+    np.testing.assert_allclose(np.asarray(cv[0, -1]), [1.0, 0.0], atol=1e-6)
+    # collision-fixed CV: head-on agents must not overlap at any step
+    fixed = B.cv_collision_fixed_forecast(
+        pos, vel, jnp.array([0.3, 0.3]), jnp.array([True, True]), 0.25, 6)
+    d = np.linalg.norm(np.asarray(fixed[0] - fixed[1]), axis=-1)
+    assert (d >= 0.6).all()
+
+
+def test_metrics_logger(tmp_path):
+    from sicnav_tpu.utils.metrics import MetricsLogger
+    lg = MetricsLogger(str(tmp_path), "t")
+    lg.log(step=1, loss=0.5)
+    lg.log(step=2, loss=0.25)
+    lg.close()
+    import json
+    lines = [json.loads(l) for l in open(lg.path)]
+    assert lines[1]["loss"] == 0.25

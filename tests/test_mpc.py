@@ -165,3 +165,31 @@ def test_realtime_settings_table():
     assert s1.n_iter > s4.n_iter
     sm = ipm.realtime_settings(3, with_mid=True)
     assert sm.n_iter > 0
+
+
+def test_ral_8state_mode():
+    """RA-L 8-dim robot state: dynamics invariants + cost/constraint sizing
+    (mpc_env_new.py:320-351, 620-660)."""
+    cfg = MPCConfig(num_hums=2, num_walls=1, priviledged_info=True,
+                    robot_nx=8, r_om=50.0, term_q_coeff=75.0,
+                    robot_capsule=True)
+    ocp2 = OCP(cfg)
+    state = CS.reset_host(ENV, case=1)
+    params = C.build_params(ocp2, state, ENV)
+    assert params.x0_rob.shape == (8,)
+    # sin/cos of the initial heading
+    np.testing.assert_allclose(
+        float(params.x0_rob[2] ** 2 + params.x0_rob[3] ** 2), 1.0, atol=1e-6)
+
+    u_rob = jnp.array([[0.5, 0.3]] * cfg.K)
+    u_hums = jnp.zeros((cfg.K_orca, 2, 3))
+    X_rob, _ = ocp2.rollout(params, u_rob, u_hums)
+    sc = np.asarray(X_rob[:, 2] ** 2 + X_rob[:, 3] ** 2)
+    np.testing.assert_allclose(sc, 1.0, atol=1e-5)   # unit heading preserved
+    # vdot/omdot states track the input differences
+    np.testing.assert_allclose(float(X_rob[1, 6]),
+                               (0.5 - float(params.x0_rob[4])) / 0.25,
+                               atol=1e-5)
+    assert np.isfinite(float(ocp2.cost(jnp.zeros(cfg.n_z), params)))
+    ci = ocp2.ineq_residuals(jnp.zeros(cfg.n_z), params)
+    assert ci.shape[0] == ocp2.n_ineq
