@@ -219,6 +219,8 @@ def save_checkpoint(path, params):
     import orbax.checkpoint as ocp
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, params, force=True)
+    ckptr.wait_until_finished()
+    ckptr.close()
 
 
 def load_checkpoint(path, like_params):

@@ -32,29 +32,32 @@ def evaluate_policy(policy_fn: Callable, cfg: EnvConfig, num_cases: int = 500,
     max_steps = int(cfg.time_limit / cfg.dt) + 2
     all_stats = []
 
+    run_one = None
+    if stateful_policy is not None:
+        init_carry_fn, step_fn = stateful_policy
+
+        @jax.jit
+        def run_one(s0):
+            carry0 = init_carry_fn()
+
+            def body(c, _):
+                s, pc = c
+                action, pc = step_fn(s, pc)
+                s2, rew, info = crowd_sim.step_masked(s, action, cfg)
+                return (s2, pc), (rew, info)
+
+            (sf, _), (rews, infos) = jax.lax.scan(
+                body, (s0, carry0), None, length=max_steps)
+            return sf, rews, infos
+
     for start in range(0, num_cases, batch):
         cases = list(range(start, min(start + batch, num_cases)))
         states = [crowd_sim.reset_host(cfg, c, phase) for c in cases]
-        batch_states = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
         if stateful_policy is None:
+            batch_states = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
             _, stats, _ = rollout.batch_rollout(batch_states, policy_fn, cfg,
                                                 max_steps)
         else:
-            init_carry_fn, step_fn = stateful_policy
-
-            def run_one(s0):
-                carry0 = init_carry_fn()
-
-                def body(c, _):
-                    s, pc = c
-                    action, pc = step_fn(s, pc)
-                    s2, rew, info = crowd_sim.step_masked(s, action, cfg)
-                    return (s2, pc), (rew, info)
-
-                (sf, _), (rews, infos) = jax.lax.scan(
-                    body, (s0, carry0), None, length=max_steps)
-                return sf, rews, infos
-
             outs = [run_one(s) for s in states]
             stats = _stats_from_infos(outs, cfg, max_steps)
             all_stats.append(stats)
