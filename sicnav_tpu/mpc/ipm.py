@@ -41,6 +41,9 @@ class IPMSettings:
     reg_eq: float = 1e-8        # dual regularization of the eq block
     alphas: tuple = (1.0, 0.5, 0.25, 0.1, 0.03, 0.01, 0.003)
     exact_hessian: bool = True
+    precondition: bool = True   # diagonal z-space scaling from the initial
+                                # Hessian (tames the 1e6-range slack-penalty
+                                # curvature in f32)
 
 
 def realtime_settings(num_hums: int, with_mid: bool = False,
@@ -96,6 +99,20 @@ def solve(f_fn: Callable, ceq_fn: Callable, cineq_fn: Callable,
     """
     st = settings
     n = z0.shape[0]
+
+    if st.precondition:
+        # diagonal scaling so all variables see O(1) curvature; solve in
+        # y = z / D, return D * y
+        h_diag = jnp.diagonal(jax.hessian(f_fn)(z0))
+        D = 1.0 / jnp.sqrt(jnp.clip(jnp.abs(h_diag), 1.0, 1e10))
+        f_raw, ce_raw, ci_raw = f_fn, ceq_fn, cineq_fn
+        f_fn = lambda y: f_raw(D * y)
+        ceq_fn = lambda y: ce_raw(D * y)
+        cineq_fn = lambda y: ci_raw(D * y)
+        z0 = z0 / D
+    else:
+        D = None
+
     c_e0 = ceq_fn(z0)
     c_i0 = cineq_fn(z0)
     m_e = c_e0.shape[0]
@@ -228,10 +245,11 @@ def solve(f_fn: Callable, ceq_fn: Callable, cineq_fn: Callable,
         eq_viol=jnp.max(jnp.abs(c_e), initial=0.0),
         ineq_viol=jnp.max(jnp.maximum(c_i, 0.0), initial=0.0),
         comp=jnp.dot(final.s, final.lam) / m_i)
+    z_out = final.z * D if D is not None else final.z
     if return_trace and return_duals:
-        return final.z, info, trace, (final.y, final.lam, final.s)
+        return z_out, info, trace, (final.y, final.lam, final.s)
     if return_trace:
-        return final.z, info, trace
+        return z_out, info, trace
     if return_duals:
-        return final.z, info, (final.y, final.lam, final.s)
-    return final.z, info
+        return z_out, info, (final.y, final.lam, final.s)
+    return z_out, info
