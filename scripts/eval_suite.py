@@ -21,6 +21,7 @@ def main():
     p.add_argument("--phase", default="test", choices=["test", "val"])
     p.add_argument("--batch", type=int, default=50)
     p.add_argument("--privileged", action="store_true")
+    p.add_argument("--ipm_iters", type=int, default=30)
     args = p.parse_args()
 
     from sicnav_tpu.env.types import EnvConfig
@@ -51,7 +52,9 @@ def main():
             dt=env_cfg.dt,
             hum_model="cvmm" if args.policy == "campc_cvmm" else "orca_casadi_kkt",
             priviledged_info=args.privileged)
-        ocp, policy = C.make_policy(env_cfg, mpc_cfg)
+        from sicnav_tpu.mpc import ipm
+        ocp, policy = C.make_policy(env_cfg, mpc_cfg,
+                                    settings=ipm.IPMSettings(n_iter=args.ipm_iters))
         res = harness.evaluate_policy(
             None, env_cfg, args.num_cases, args.phase, args.batch,
             stateful_policy=(lambda: C.init_carry(ocp), policy))
