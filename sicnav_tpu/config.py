@@ -9,7 +9,6 @@ sicnav/configs/*.config.
 from __future__ import annotations
 
 import configparser
-import dataclasses
 import hashlib
 from typing import Optional
 

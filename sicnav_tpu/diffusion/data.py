@@ -10,7 +10,6 @@ and on ETH/UCY-format text files.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import List, NamedTuple
 
 import numpy as np

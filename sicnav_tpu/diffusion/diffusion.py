@@ -8,7 +8,6 @@ denoised as one batch, TPU-resident end to end.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Callable, NamedTuple
 
 import jax

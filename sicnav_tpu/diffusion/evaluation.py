@@ -11,7 +11,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from sicnav_tpu.diffusion.kde import _kde_loglik
 
 
 def ade(pred, gt, mask=None):

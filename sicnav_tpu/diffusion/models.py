@@ -17,7 +17,6 @@ Fixed shapes with masks throughout: a batch is (B, A, T, D) padded agents.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -14,8 +14,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from sicnav_tpu.ops.geometry import (
-    closest_point_on_line, det2, dot2, line_intersection, norm2,
-    seg_seg_closest,
+    closest_point_on_line, dot2, line_intersection, norm2, seg_seg_closest,
 )
 
 _EPS_TOUCH = 1e-4

@@ -8,8 +8,7 @@ frozen / discomfort rates, mean nav time).
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Callable, Dict, List
+from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ warmstart (campc.py:569-610).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Callable, NamedTuple
 
 import jax

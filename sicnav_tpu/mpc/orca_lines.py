@@ -19,7 +19,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from sicnav_tpu.ops.geometry import det2, dot2, norm2, normalize
+from sicnav_tpu.ops.geometry import det2, dot2
 from sicnav_tpu.ops.orca import edge_orca_line
 
 # invalidation bound (orca_casadi.py:305-311): if the ORCA line lies outside

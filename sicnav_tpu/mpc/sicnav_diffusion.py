@@ -26,7 +26,6 @@ import jax.numpy as jnp
 
 from sicnav_tpu.diffusion import forecaster as FC
 from sicnav_tpu.diffusion.mid import JMIDModel
-from sicnav_tpu.env.crowd_sim import intermediate_goals
 from sicnav_tpu.env.types import EnvConfig, SimState
 from sicnav_tpu.mpc import campc as C
 from sicnav_tpu.mpc import ipm

@@ -16,8 +16,8 @@ import jax
 import jax.numpy as jnp
 
 from sicnav_tpu.mpc import orca_lines as OL
-from sicnav_tpu.mpc.ocp import MPCConfig, MPCParams, OCP, Slacks
-from sicnav_tpu.ops.geometry import dot2, norm2
+from sicnav_tpu.mpc.ocp import MPCParams, OCP, Slacks
+from sicnav_tpu.ops.geometry import norm2
 from sicnav_tpu.ops.orca import solve_orca_lp
 
 
