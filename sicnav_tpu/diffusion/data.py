@@ -128,10 +128,41 @@ def scenes_from_env_rollout(traj_states, human_only=True):
     return pos.transpose(1, 0, 2), mask.T
 
 
-def load_ethucy_txt(path, dt=0.4):
-    """ETH/UCY raw format: frame_id, ped_id, x, y (whitespace separated;
-    process_data.py source handling). Returns (pos (A, T, 2), valid (A, T))."""
-    raw = np.loadtxt(path)
+def load_trajectory_file(path, dt=0.4, frame_divisor=10, center=True,
+                         keep_classes=("PEDESTRIAN",)):
+    """Raw trajectory file -> (pos (A, T, 2), valid (A, T)).
+
+    Handles the reference's raw formats (process_data.py:300-355):
+    - ETH/UCY txt: tab/whitespace ``frame_id  track_id  x  y``
+    - JRDB/class csv: ``frame_id, track_id, x, y, node_type`` (header row)
+    - jrdb_bev_hst csv: ``frame_id, track_id, x, y, interpolated``
+    frame_ids are divided by ``frame_divisor`` (10 for non-sim sources) and
+    positions mean-centered per scene, matching the reference.
+    """
+    rows = []
+    with open(path) as f:
+        for ln, line in enumerate(f):
+            parts = line.replace(",", " ").split()
+            if not parts:
+                continue
+            try:
+                frame = float(parts[0])
+            except ValueError:
+                continue  # header row
+            track = float(parts[1])
+            x, y = float(parts[2]), float(parts[3])
+            node_type = parts[4] if len(parts) > 4 else "PEDESTRIAN"
+            if node_type not in keep_classes and \
+                    not node_type.replace(".", "").replace("-", "").isdigit():
+                continue
+            rows.append((int(frame), int(track), x, y))
+    raw = np.array(rows, np.float64)
+    if frame_divisor and frame_divisor > 1:
+        raw[:, 0] = raw[:, 0] // frame_divisor
+    if center:
+        raw[:, 2] -= raw[:, 2].mean()
+        raw[:, 3] -= raw[:, 3].mean()
+
     frames = np.unique(raw[:, 0]).astype(int)
     peds = np.unique(raw[:, 1]).astype(int)
     f_idx = {f: i for i, f in enumerate(frames)}
@@ -144,3 +175,8 @@ def load_ethucy_txt(path, dt=0.4):
         pos[i, j] = row[2:4]
         valid[i, j] = True
     return pos, valid
+
+
+def load_ethucy_txt(path, dt=0.4):
+    """Back-compat alias (ETH/UCY raw txt)."""
+    return load_trajectory_file(path, dt=dt, frame_divisor=1, center=False)
