@@ -179,3 +179,32 @@ def test_device_reset_separation():
             for j in range(i + 1, 4):
                 d = np.linalg.norm(hp[b, i] - hp[b, j])
                 assert d >= 2 * cfg.human_radius - 1e-5
+
+
+def test_scenario_generator_golden():
+    """Golden regression: the host generator's RNG call sequence must stay
+    exactly as the reference's (case index == seed); these values were
+    produced by the current implementation and lock the draw order."""
+    from sicnav_tpu.env import scenarios, walls as W
+
+    cfg = EnvConfig(scenario="circle_crossing", human_policy="orca",
+                    human_num=3, max_humans=3)
+    walls, mask, door = W.build_walls(cfg)
+    pos, goal, *_ = scenarios.generate_host(cfg, 0, "test", walls, mask)
+    np.testing.assert_allclose(
+        pos[:3],
+        [[-1.221571, -1.21381], [-1.047455, -0.16433], [-0.777305, 1.483615]],
+        atol=1e-5)
+    np.testing.assert_allclose(goal[:3], -pos[:3], atol=1e-5)
+
+    cfg2 = EnvConfig(scenario="hallway_bottleneck", human_policy="orca_plus",
+                     human_num=3, max_humans=3)
+    walls2, mask2, door2 = W.build_walls(cfg2)
+    pos2, goal2, th2, rad2, vp2, m2 = scenarios.generate_host(
+        cfg2, 0, "test", walls2, mask2)
+    np.testing.assert_allclose(
+        pos2[:3],
+        [[0.095515, -0.607995], [0.619986, -2.275269], [-0.561028, 1.443641]],
+        atol=1e-5)
+    np.testing.assert_allclose(
+        vp2[:3], [0.791025, 1.408492, 0.94045], atol=1e-5)
