@@ -158,8 +158,17 @@ def campc_action(ocp: OCP, state: SimState, carry: CAMPCCarry,
     guess_cost = ocp.cost(z_guess, params)
     sol_finite = jnp.all(jnp.isfinite(z_sol))
     sol_feasible = sol_finite & (info.ineq_viol < 1e-2) & (info.eq_viol < 1e-1)
+    # reality check: replay the solver's robot plan against EXACT lower-level
+    # human responses (the reference audits solutions the same way via the
+    # real RVO2 callback, campc.calc_actual_orca_for_x_val:1135-1156) and
+    # reject plans that only avoid collisions under unconverged-KKT humans
+    u_rob_sol, _, _, _ = ocp.unpack(z_sol)
+    Xr_ex, Xh_ex = WS.exact_human_rollout(ocp, params, u_rob_sol)
+    comb = params.hum_coll_radii + params.rob_radius + cfg.rob_rad_buffer
+    d_ex = jnp.linalg.norm(Xr_ex[:, None, :2] - Xh_ex[:, :, :2], axis=-1)
+    sol_realistic = jnp.all(d_ex > comb[None, :])
     # reference: keep warmstart when the "optimized" value is worse (:695-707)
-    use_guess = (~sol_feasible) | (sol_cost > guess_cost)
+    use_guess = (~sol_feasible) | (~sol_realistic) | (sol_cost > guess_cost)
     z_used = jnp.where(use_guess, z_guess, z_sol)
 
     # emergency brake if even the guess is broken (:754-786)

@@ -170,6 +170,45 @@ def _vel_to_unicycle(ocp: OCP, xr, v_des):
     return jnp.stack([sp, om])
 
 
+def exact_human_rollout(ocp: OCP, params: MPCParams, u_rob):
+    """Roll the horizon with the GIVEN robot controls and humans responding
+    via exact per-stage lower-level ORCA solves — the ground-truth model
+    rollout the reference replays through the real RVO2 callback to audit
+    optimizer solutions (campc.calc_actual_orca_for_x_val:1135-1156).
+
+    Returns (X_rob (K+1, nx_r), X_hums (K+1, H, 6))."""
+    cfg = ocp.cfg
+    H = cfg.num_hums
+
+    def body(carry, k):
+        xr, xh = carry
+        uh, _ = jax.vmap(lambda a: solve_human_step(ocp, params, xr, xh, a))(
+            jnp.arange(H))
+        v, om, dt = u_rob[k, 0], u_rob[k, 1], cfg.dt
+        if cfg.robot_nx == 8:
+            s, c = xr[2], xr[3]
+            s_next = s * jnp.cos(om * dt) + c * jnp.sin(om * dt)
+            c_next = c * jnp.cos(om * dt) - s * jnp.sin(om * dt)
+            xr_next = jnp.stack([
+                xr[0] + dt * v * c_next, xr[1] + dt * v * s_next,
+                s_next, c_next, v, om, (v - xr[4]) / dt, (om - xr[5]) / dt])
+        else:
+            th_next = xr[2] + dt * om
+            xr_next = jnp.stack([
+                xr[0] + dt * v * jnp.cos(th_next),
+                xr[1] + dt * v * jnp.sin(th_next), th_next, v])
+        vel = cfg.orca_vxy_scaling * uh[:, :2]
+        xh_next = jnp.concatenate([xh[:, :2] + vel * cfg.dt, vel, xh[:, 4:6]],
+                                  -1)
+        return (xr_next, xh_next), (xr_next, xh_next)
+
+    (_, _), (xr_traj, xh_traj) = jax.lax.scan(
+        body, (params.x0_rob, params.hums0), jnp.arange(cfg.K))
+    X_rob = jnp.concatenate([params.x0_rob[None], xr_traj], axis=0)
+    X_hums = jnp.concatenate([params.hums0[None], xh_traj], axis=0)
+    return X_rob, X_hums
+
+
 def warmstart_horizon(ocp: OCP, params: MPCParams):
     """Full-horizon feasible warmstart: roll robot (ORCA-as-agent) + humans
     (per-human ORCA solves with duals) forward (campc.warmstart_horiz).
