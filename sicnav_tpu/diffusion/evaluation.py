@@ -61,6 +61,19 @@ def kde_nll(pred, gt):
     return -jnp.mean(ll)
 
 
+def most_likely_ade_fde(pred, gt, joint: bool = True):
+    """Most-likely-sample ADE/FDE (mid.py:202-235 "most likely" variant):
+    rank samples by KDE likelihood and score the top one.
+
+    pred: (S, A, T, 2); gt: (A, T, 2). Returns (ade, fde) averaged over
+    agents."""
+    from sicnav_tpu.diffusion.kde import most_likely_samples
+    top, _ = most_likely_samples(pred, 1, joint=joint)     # (A, 1, T, 2)
+    best = top[:, 0]
+    err = jnp.linalg.norm(best - gt, axis=-1)              # (A, T)
+    return jnp.mean(err), jnp.mean(err[:, -1])
+
+
 def scene_ade_fde(pred, gt, agent_mask):
     """Scene-consistent SADE/SFDE: errors averaged over agents per joint
     sample BEFORE taking the min over samples (mid.py:202-235 semantics).

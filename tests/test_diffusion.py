@@ -162,3 +162,28 @@ def test_metrics_logger(tmp_path):
     import json
     lines = [json.loads(l) for l in open(lg.path)]
     assert lines[1]["loss"] == 0.25
+
+
+def test_most_likely_metrics():
+    rng = np.random.default_rng(0)
+    gt = jnp.zeros((2, 8, 2))
+    pred = jnp.asarray(rng.normal(0, 0.05, (12, 2, 8, 2)))
+    a, f = EV.most_likely_ade_fde(pred, gt)
+    assert 0 <= float(a) < 0.5 and 0 <= float(f) < 0.5
+
+
+def test_render_episode(tmp_path):
+    from sicnav_tpu.env.types import EnvConfig
+    from sicnav_tpu.env import crowd_sim as CS
+    from sicnav_tpu.utils.render import render_episode
+    cfg = EnvConfig(scenario="circle_crossing", human_policy="linear",
+                    human_num=2, max_humans=2, starts_moving=0)
+    state = CS.reset_host(cfg, case=0)
+    states = [state]
+    for _ in range(3):
+        state, _, _ = CS.step(state, jnp.zeros(2), cfg)
+        states.append(state)
+    traj = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+    out = render_episode(traj, cfg, str(tmp_path / "ep.gif"))
+    import os
+    assert os.path.exists(out) and os.path.getsize(out) > 0
