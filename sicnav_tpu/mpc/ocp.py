@@ -84,6 +84,9 @@ class MPCConfig:
     rob_wid: float = 0.5
     rob_len_buffer: float = 0.2
     rob_wid_buffer: float = 0.05
+    # stage-indexed collision-margin growth (extension beyond the reference:
+    # robust-horizon tightening for model-prediction error growth; 0 = off)
+    stage_margin: float = 0.0
 
     @property
     def K(self):
@@ -519,10 +522,11 @@ class OCP:
             g["coll"] = -(jnp.sum(d * d, -1) - comb ** 2)      # (K+1, H)
         else:
             # circle model (mpc_env.get_mpc_coll_constraints)
-            comb = (params.hum_coll_radii + params.rob_radius +
-                    cfg.rob_rad_buffer + 0.01)           # (H,)
+            comb = (params.hum_coll_radii[None, :] + params.rob_radius +
+                    cfg.rob_rad_buffer + 0.01 +
+                    cfg.stage_margin * jnp.arange(K + 1)[:, None])  # (K+1, H)
             d = X_rob[:, None, :2] - X_hums[:, :, :2]    # (K+1, H, 2)
-            g["coll"] = -(jnp.sum(d * d, -1) - comb[None, :] ** 2)  # (K+1, H)
+            g["coll"] = -(jnp.sum(d * d, -1) - comb ** 2)           # (K+1, H)
 
         # robot-wall capsule, stages 0..K; buffer rule (mpc_env.py:364-375)
         rob_r = params.rob_radius
