@@ -14,7 +14,10 @@ def main():
     enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--policy", default="dwa",
-                   choices=["dwa", "orca_plus", "campc", "campc_cvmm"])
+                   choices=["dwa", "orca_plus", "campc", "campc_cvmm",
+                            "sarl", "rgl"])
+    p.add_argument("--checkpoint", default=None,
+                   help="value-net checkpoint for sarl/rgl")
     p.add_argument("--num_cases", type=int, default=500)
     p.add_argument("--num_humans", type=int, default=3)
     p.add_argument("--scenario", default="circle_crossing")
@@ -44,6 +47,26 @@ def main():
         res = harness.evaluate_policy(lambda s: orca_robot_action(s, env_cfg),
                                       env_cfg, args.num_cases, args.phase,
                                       args.batch)
+    elif args.policy in ("sarl", "rgl"):
+        import jax
+        import jax.numpy as jnp
+        from sicnav_tpu.rl.networks import SARLNetwork, RGLNetwork
+        from sicnav_tpu.rl import dqn as D
+        from sicnav_tpu.diffusion.mid import load_checkpoint
+        net = SARLNetwork() if args.policy == "sarl" else RGLNetwork()
+        H = env_cfg.max_humans
+        params = net.init(jax.random.PRNGKey(0), jnp.zeros(9),
+                          jnp.zeros((H, 5)), jnp.ones(H, bool))
+        if args.checkpoint:
+            params = load_checkpoint(os.path.abspath(args.checkpoint), params)
+        actions = D.build_action_space(env_cfg, D.DQNConfig())
+        q_fn = D.make_q_fn(net, env_cfg, D.DQNConfig(), actions)
+
+        def greedy(s):
+            return actions[jnp.argmax(q_fn(params, s))]
+
+        res = harness.evaluate_policy(greedy, env_cfg, args.num_cases,
+                                      args.phase, args.batch)
     else:
         from sicnav_tpu.mpc.ocp import MPCConfig
         from sicnav_tpu.mpc import campc as C

@@ -37,9 +37,12 @@ def collect_demonstrations(env_cfg: EnvConfig, il: ILConfig, seed: int = 0,
     """Batched ORCA-plus rollouts with discounted-return state values.
 
     Returns arrays (robot (N, 9), humans (N, H, 5), hmask (N, H),
-    values (N,)). Value labeling follows Explorer.run_k_episodes: each state
-    gets gamma^((t_end - t) * v_pref)-discounted terminal-ish return via the
-    accumulated discounted rewards.
+    values (N,)). Value labeling: gamma^((steps-to-go) * dt * v_pref) times
+    the episode outcome (success = 1). This is the dominant term of
+    Explorer.run_k_episodes' discounted-return labels; intermediate reward
+    terms (collision/discomfort contributions along the way) are not yet
+    accumulated — ORCA demonstrations are collision-free so the difference
+    is the rare discomfort term only.
     """
     n_episodes = n_episodes or il.il_episodes
     max_steps = max_steps or int(env_cfg.time_limit / env_cfg.dt) + 2
