@@ -48,6 +48,7 @@ def main():
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--n_scenes", type=int, default=64)
+    p.add_argument("--scenario", default="circle_crossing")
     p.add_argument("--encoder_dim", type=int, default=256)
     p.add_argument("--tf_layer", type=int, default=3)
     p.add_argument("--seed", type=int, default=0)
@@ -66,9 +67,12 @@ def main():
             examples += D.build_examples(pos, valid, 0.4, history_len=6,
                                          horizon=8, max_agents=16)
     else:
-        env_cfg = EnvConfig(scenario="circle_crossing", human_policy="orca",
-                            human_num=5, max_humans=5, starts_moving=0,
-                            robot_kinematics="holonomic")
+        env_cfg = EnvConfig(
+            scenario=args.scenario,
+            human_policy="orca" if args.scenario in
+            ("circle_crossing", "square_crossing") else "orca_plus",
+            human_num=5, max_humans=5, starts_moving=0,
+            robot_kinematics="holonomic")
         examples = generate_sim_scenes(args.n_scenes, env_cfg, args.seed)
 
     rng = np.random.default_rng(args.seed)
