@@ -75,3 +75,51 @@ def batch_rollout(states: SimState, policy_fn: Callable, cfg: EnvConfig,
                   max_steps: int):
     """vmapped rollout over a leading batch axis of ``states``."""
     return jax.vmap(lambda s: rollout_episode(s, policy_fn, cfg, max_steps))(states)
+
+
+@functools.partial(jax.jit, static_argnames=("step_fn", "cfg", "max_steps"))
+def rollout_episode_stateful(state: SimState, carry0, step_fn: Callable,
+                             cfg: EnvConfig, max_steps: int):
+    """Episode rollout for carry-state policies (e.g. CAMPC):
+    step_fn(state, carry) -> (action, carry). Returns (final_state,
+    EpisodeStats)."""
+
+    def body(c, _):
+        state, pcarry, stats = c
+        action, pcarry = step_fn(state, pcarry)
+        new_state, reward, info = crowd_sim.step_masked(state, action, cfg)
+        live = ~state.done
+        stats = EpisodeStats(
+            success=stats.success | (live & info.reach_goal),
+            timeout=stats.timeout | (live & info.timeout),
+            nav_time=jnp.where(live & info.done, new_state.t, stats.nav_time),
+            collision_steps=stats.collision_steps + (live & info.collision),
+            wall_collision_steps=stats.wall_collision_steps +
+            (live & info.wall_collision),
+            frozen_steps=stats.frozen_steps + (live & info.frozen),
+            danger_steps=stats.danger_steps + (live & info.danger),
+            min_dist=jnp.minimum(stats.min_dist,
+                                 jnp.where(live, info.dmin, jnp.inf)),
+            total_reward=stats.total_reward + reward,
+            steps=stats.steps + live)
+        return (new_state, pcarry, stats), None
+
+    init_stats = EpisodeStats(
+        success=jnp.array(False), timeout=jnp.array(False),
+        nav_time=jnp.float32(cfg.time_limit),
+        collision_steps=jnp.int32(0), wall_collision_steps=jnp.int32(0),
+        frozen_steps=jnp.int32(0), danger_steps=jnp.int32(0),
+        min_dist=jnp.float32(jnp.inf), total_reward=jnp.float32(0.0),
+        steps=jnp.int32(0))
+
+    (final_state, _, stats), _ = jax.lax.scan(
+        body, (state, carry0, init_stats), None, length=max_steps)
+    return final_state, stats
+
+
+def batch_rollout_stateful(states: SimState, carries, step_fn: Callable,
+                           cfg: EnvConfig, max_steps: int):
+    """vmapped stateful rollout: batched solves amortize the per-step MPC
+    cost across episodes (12 ms/solve at B=16 vs 66 ms single on v5e)."""
+    return jax.vmap(lambda s, c: rollout_episode_stateful(
+        s, c, step_fn, cfg, max_steps))(states, carries)
