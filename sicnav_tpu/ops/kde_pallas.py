@@ -30,21 +30,23 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-def _kde_kernel(y_ref, z_ref, mask_ref, out_ref):
-    """One group per grid step. y: (1, S_pad, D_pad) whitened samples;
-    z: (1, 1, 1) log-normalizer; mask: (1, S_pad, 1) valid-sample mask;
-    out: (1, S_pad, 1) log-likelihoods."""
-    y = y_ref[0]                                        # (S_pad, D_pad)
+def _kde_kernel(z_ref, y_ref, mask_ref, out_ref):
+    """One group per grid step, 2D blocks. z: scalar-prefetch (G,)
+    log-normalizers; y: (S_pad, D_pad) whitened samples; mask:
+    (S_pad, 128) valid mask (column-broadcast); out: (S_pad, 128)
+    log-likelihoods (read column 0)."""
+    g = pl.program_id(0)
+    y = y_ref[:]                                        # (S_pad, D_pad)
     sq = jnp.sum(y * y, axis=-1, keepdims=True)         # (S_pad, 1)
     gram = jax.lax.dot_general(y, y, (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)
     d2 = sq + sq.T - 2.0 * gram                         # (S_pad, S_pad)
-    log_exp = -0.5 * jnp.maximum(d2, 0.0) - z_ref[0, 0, 0]
-    valid = mask_ref[0, :, 0] > 0.0
-    log_exp = jnp.where(valid[None, :], log_exp, -jnp.inf)
+    log_exp = -0.5 * jnp.maximum(d2, 0.0) - z_ref[g]
+    valid = mask_ref[:, 0] > 0.0
+    log_exp = jnp.where(valid[None, :], log_exp, -1e30)
     m = jnp.max(log_exp, axis=1, keepdims=True)
     s = jnp.sum(jnp.exp(log_exp - m), axis=1, keepdims=True)
-    out_ref[0] = m + jnp.log(s)
+    out_ref[:] = jnp.broadcast_to(m + jnp.log(s), out_ref.shape)
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -52,27 +54,32 @@ def _kde_loglik_pallas_impl(y_white, log_Z):
     G, S, D = y_white.shape
     S_pad = _round_up(S, 8)
     D_pad = _round_up(D, 128)
-    y_p = jnp.zeros((G, S_pad, D_pad), jnp.float32)
-    y_p = y_p.at[:, :S, :D].set(y_white.astype(jnp.float32))
-    mask = jnp.zeros((G, S_pad, 1), jnp.float32).at[:, :S, 0].set(1.0)
-    z = log_Z.reshape(G, 1, 1).astype(jnp.float32)
+    y_p = jnp.zeros((G, S_pad, D_pad), jnp.float32).at[:, :S, :D].set(
+        y_white.astype(jnp.float32)).reshape(G * S_pad, D_pad)
+    mask = jnp.zeros((G, S_pad, 128), jnp.float32).at[:, :S, :].set(1.0)
+    mask = mask.reshape(G * S_pad, 128)
+    z = log_Z.reshape(G).astype(jnp.float32)
 
-    out = pl.pallas_call(
-        _kde_kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(G,),
         in_specs=[
-            pl.BlockSpec((1, S_pad, D_pad), lambda g: (g, 0, 0),
+            pl.BlockSpec((S_pad, D_pad), lambda g, *_: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1), lambda g: (g, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, S_pad, 1), lambda g: (g, 0, 0),
+            pl.BlockSpec((S_pad, 128), lambda g, *_: (g, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, S_pad, 1), lambda g: (g, 0, 0),
+        out_specs=pl.BlockSpec((S_pad, 128), lambda g, *_: (g, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((G, S_pad, 1), jnp.float32),
-    )(y_p, z, mask)
-    return out[:, :S, 0]
+    )
+    out = pl.pallas_call(
+        _kde_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((G * S_pad, 128), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(z, y_p, mask)
+    return out.reshape(G, S_pad, 128)[:, :S, 0]
 
 
 def kde_loglik_fused(preds, bandwidth):
@@ -99,9 +106,10 @@ def kde_loglik_fused(preds, bandwidth):
 
     y_white = jnp.einsum("gsd,ged->gse", preds, L_inv) / bw[:, None, None]
 
-    # Pallas path currently opt-in: the Mosaic lowering of this kernel
-    # over-allocates scoped VMEM on v5e (43 MB for a 256x128 block);
-    # the fused XLA path below is the production path meanwhile.
+    # Pallas path currently opt-in (SICNAV_TPU_PALLAS_KDE=1): compiles with
+    # a raised vmem limit but still shows a numeric discrepancy vs the XLA
+    # path on TPU (under investigation; the op is us-scale so the fused XLA
+    # path below is the production path).
     import os
     if (_HAS_PALLAS and jax.default_backend() == "tpu"
             and os.environ.get("SICNAV_TPU_PALLAS_KDE") == "1"):
