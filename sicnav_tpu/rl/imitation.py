@@ -94,7 +94,8 @@ def fit_value_net(net, data, il: ILConfig = ILConfig(), seed: int = 0,
         init_params = net.init(key, jnp.asarray(robot[0]),
                                jnp.asarray(humans[0]), jnp.asarray(hmask[0]))
     params = init_params
-    tx = optax.sgd(il.il_learning_rate, momentum=il.momentum)
+    tx = optax.chain(optax.clip_by_global_norm(1.0),
+                     optax.sgd(il.il_learning_rate, momentum=il.momentum))
     opt_state = tx.init(params)
 
     @jax.jit

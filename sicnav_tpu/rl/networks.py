@@ -17,6 +17,7 @@ from typing import Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 @dataclasses.dataclass(frozen=True)
@@ -148,18 +149,21 @@ class RGLNetwork(nn.Module):
         node_mask = jnp.concatenate(
             [jnp.ones_like(human_mask[..., :1]), human_mask], axis=-1)
 
-        w_a = self.param("w_a", nn.initializers.normal(1.0),
-                         (cfg.X_dim, cfg.X_dim))
+        # the reference draws these Parameters from a unit normal
+        # (RGL.py:100-108); scaled here by 1/sqrt(dim) for stable training
+        # without torch's implicit lr dynamics
+        w_init = nn.initializers.normal(1.0 / np.sqrt(cfg.X_dim))
+        w_a = self.param("w_a", w_init, (cfg.X_dim, cfg.X_dim))
         w1_shape = (cfg.X_dim, cfg.gcn2_w1_dim if cfg.num_layer == 2
                     else cfg.final_state_dim)
-        w1 = self.param("w1", nn.initializers.normal(1.0), w1_shape)
+        w1 = self.param("w1", w_init, w1_shape)
 
         A = self._similarity(X, w_a, node_mask)
         h1 = nn.relu(A @ X @ w1)
         if cfg.skip_connection:
             h1 = h1 + X
         if cfg.num_layer == 2:
-            w2 = self.param("w2", nn.initializers.normal(1.0),
+            w2 = self.param("w2", w_init,
                             (cfg.gcn2_w1_dim, cfg.final_state_dim))
             A2 = self._similarity(h1, w_a, node_mask) if cfg.layerwise_graph else A
             h2 = nn.relu(A2 @ h1 @ w2)
