@@ -172,9 +172,16 @@ def eval_scene(model: JMIDModel, params, batch: SceneBatch, key,
 
 
 def fit(model: JMIDModel, train_batches, val_batches, tc: TrainConfig,
-        log_every: int = 50, checkpoint_dir: Optional[str] = None):
+        log_every: int = 50, checkpoint_dir: Optional[str] = None,
+        log_dir: Optional[str] = None, tensorboard: bool = False):
     """Full training loop with early stopping. ``train_batches`` is a list of
-    stacked SceneBatch (leading scene axis)."""
+    stacked SceneBatch (leading scene axis). ``log_dir`` streams per-epoch
+    loss/val-ADE as JSONL (+ TB event files with ``tensorboard=True``),
+    replacing the reference trainer's tensorboardX writer (mid.py:14)."""
+    logger = None
+    if log_dir is not None:
+        from sicnav_tpu.utils.metrics import MetricsLogger
+        logger = MetricsLogger(log_dir, "jmid", tensorboard=tensorboard)
     steps_per_epoch = max(len(train_batches), 1)
     params, tx, opt_state = make_train_state(model, jax.tree.map(
         lambda x: x[0], train_batches[0]), tc, steps_per_epoch)
@@ -202,6 +209,8 @@ def fit(model: JMIDModel, train_batches, val_batches, tc: TrainConfig,
         val_ade = float(np.mean(ades)) if ades else np.inf
         history.append({"epoch": epoch, "loss": float(np.mean(ep_loss)),
                         "val_ade": val_ade})
+        if logger is not None:
+            logger.log(epoch, loss=float(np.mean(ep_loss)), val_ade=val_ade)
         if val_ade < best_ade:
             best_ade = val_ade
             best_params = params
@@ -212,6 +221,8 @@ def fit(model: JMIDModel, train_batches, val_batches, tc: TrainConfig,
                 break
     if checkpoint_dir is not None:
         save_checkpoint(checkpoint_dir, best_params)
+    if logger is not None:
+        logger.close()
     return best_params, history
 
 

@@ -25,6 +25,7 @@ from sicnav_tpu.env.crowd_sim import intermediate_goals
 from sicnav_tpu.env.types import EnvConfig, SimState
 from sicnav_tpu.mpc import ipm, warmstart as WS
 from sicnav_tpu.mpc.ocp import MPCConfig, MPCParams, OCP
+from sicnav_tpu.mpc.ref_traj import point_stab_reference
 from sicnav_tpu.ops.geometry import norm2
 
 
@@ -83,9 +84,21 @@ def build_params(ocp: OCP, state: SimState, env_cfg: EnvConfig,
     goal = intermediate_goals(state.r_pos[None], state.r_goal[None],
                               state.door)[0]
 
-    if cfg.robot_nx == 8:
-        # reference includes the goal heading (sin/cos); driving toward the
-        # goal direction subsumes the rotate-in-place phase via q_theta
+    if cfg.ref_type == "point_stab":
+        # rolled rotate/cruise/arrive reference regenerated each control
+        # step (sicnav_acados.py get_ref_traj:648-670 point_stab branch)
+        poses, _ = point_stab_reference(
+            state.r_pos, state.r_theta, goal, cfg.K, cfg.dt,
+            cfg.pref_speed, cfg.max_rot, state.r_radius)
+        if cfg.robot_nx == 8:
+            x_ref = jnp.concatenate(
+                [poses[:, :2], jnp.sin(poses[:, 2:3]),
+                 jnp.cos(poses[:, 2:3])], axis=-1)
+        else:
+            x_ref = poses[:, :2]
+    elif cfg.robot_nx == 8:
+        # goal-tile: reference includes the goal heading (sin/cos); driving
+        # toward the goal direction subsumes the rotate-in-place phase
         to_goal = goal - state.r_pos
         ref_th = jnp.arctan2(to_goal[1], to_goal[0])
         x_ref = jnp.tile(jnp.concatenate(

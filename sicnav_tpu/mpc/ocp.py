@@ -38,6 +38,10 @@ class MPCConfig:
     horiz: int = 4                    # K
     orca_kkt_horiz: int = 4           # K_orca (0 => = horiz)
     hum_model: str = "orca_casadi_kkt"   # "orca_casadi_kkt" | "cvmm"
+    # reference trajectory mode ([campc] ref_type = point_stab default):
+    # "point_stab" rolls the multi-phase rotate/cruise/arrive unicycle
+    # reference (mpc/ref_traj.py); "goal_tile" repeats the goal pose.
+    ref_type: str = "point_stab"
     num_hums: int = 3
     num_walls: int = 4
     soft_constraints: bool = True

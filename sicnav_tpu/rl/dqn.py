@@ -239,15 +239,17 @@ def make_collect_step(net, env_cfg: EnvConfig, dqn: DQNConfig, actions):
 
 def train(net, env_cfg: EnvConfig, dqn: DQNConfig = DQNConfig(),
           n_envs: int = 32, seed: int = 0, total_steps: int = None,
-          init_params=None, log_every: int = 200, log_dir: str = None):
+          init_params=None, log_every: int = 200, log_dir: str = None,
+          tensorboard: bool = False):
     """Full DQN training loop. Returns (params, metrics history).
 
-    ``log_dir`` streams JSONL metrics (utils/metrics.MetricsLogger — the
-    tensorboard-callback replacement)."""
+    ``log_dir`` streams JSONL metrics (utils/metrics.MetricsLogger);
+    ``tensorboard=True`` additionally writes TB event files like the
+    reference's CustomCallback (RL_nav/SB3_Support/callbacks.py:62-77)."""
     logger = None
     if log_dir is not None:
         from sicnav_tpu.utils.metrics import MetricsLogger
-        logger = MetricsLogger(log_dir, "dqn")
+        logger = MetricsLogger(log_dir, "dqn", tensorboard=tensorboard)
     actions = build_action_space(env_cfg, dqn)
     key = jax.random.PRNGKey(seed)
     key, k_init, k_env = jax.random.split(key, 3)

@@ -16,23 +16,38 @@ import numpy as np
 
 
 class MetricsLogger:
-    """Append-only JSONL metrics stream (one dict per step/epoch)."""
+    """Append-only JSONL metrics stream (one dict per step/epoch), with
+    optional tensorboard event files (``tensorboard=True``) in the same
+    format the reference's tensorboardX writers produce — so existing
+    TB dashboards keep working."""
 
-    def __init__(self, log_dir: str, name: str = "metrics"):
+    def __init__(self, log_dir: str, name: str = "metrics",
+                 tensorboard: bool = False):
         os.makedirs(log_dir, exist_ok=True)
         self.path = os.path.join(log_dir, f"{name}.jsonl")
         self._f = open(self.path, "a")
         self.t0 = time.time()
+        self._tb = None
+        if tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self._tb = SummaryWriter(os.path.join(log_dir, "tb"))
+            except Exception:  # torch TB backend unavailable: JSONL only
+                self._tb = None
 
     def log(self, step: int, **scalars):
         rec = {"step": int(step), "wall_s": round(time.time() - self.t0, 2)}
         for k, v in scalars.items():
             rec[k] = float(v) if hasattr(v, "__float__") else v
+            if self._tb is not None and isinstance(rec[k], float):
+                self._tb.add_scalar(k, rec[k], int(step))
         self._f.write(json.dumps(rec) + "\n")
         self._f.flush()
 
     def close(self):
         self._f.close()
+        if self._tb is not None:
+            self._tb.close()
 
 
 def episode_event_rates(stats) -> Dict[str, float]:

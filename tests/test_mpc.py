@@ -193,3 +193,59 @@ def test_ral_8state_mode():
     assert np.isfinite(float(ocp2.cost(jnp.zeros(cfg.n_z), params)))
     ci = ocp2.ineq_residuals(jnp.zeros(cfg.n_z), params)
     assert ci.shape[0] == ocp2.n_ineq
+
+
+def test_point_stab_reference_phases():
+    """The rolled reference cruises at pref_speed, lands exactly on the
+    goal, and rotates in place first when starting within robot_radius
+    (sicnav_acados.py calc_ref_traj:296-440)."""
+    from sicnav_tpu.mpc.ref_traj import point_stab_reference
+
+    dt, v_pref, max_rot, rad = 0.25, 0.9, np.pi / 3, 0.3
+    # far from goal, already heading there: pure cruise then arrival
+    pos = jnp.array([0.0, 0.0])
+    goal = jnp.array([1.6, 0.0])
+    poses, acts = point_stab_reference(pos, 0.0, goal, 12, dt,
+                                       v_pref, max_rot, rad)
+    np.testing.assert_allclose(np.asarray(acts[:7, 0]),
+                               [v_pref] * 7, atol=1e-6)
+    # arrival step closes the remaining distance exactly
+    np.testing.assert_allclose(np.asarray(poses[8, :2]), [1.6, 0.0],
+                               atol=1e-5)
+    # after arrival the reference parks (v = 0)
+    np.testing.assert_allclose(np.asarray(acts[8:, 0]), 0.0, atol=1e-6)
+    assert np.all(np.abs(np.asarray(poses[:, 1])) < 1e-5)
+
+    # within robot_radius, facing away: rotate-in-place at >= max_rot
+    pos2 = jnp.array([0.2, 0.0])
+    goal2 = jnp.array([0.0, 0.0])
+    poses2, acts2 = point_stab_reference(pos2, 0.0, goal2, 8, dt,
+                                         v_pref, max_rot, rad)
+    # needs ceil(pi / (dt * max_rot)) = 13 > 8 steps: whole horizon rotates
+    np.testing.assert_allclose(np.asarray(acts2[:, 0])[:3], 0.0, atol=1e-6)
+    assert np.all(np.abs(np.asarray(acts2[:3, 1])) >= max_rot - 1e-6)
+    # position holds while rotating
+    np.testing.assert_allclose(np.asarray(poses2[3, :2]), [0.2, 0.0],
+                               atol=1e-6)
+
+
+def test_campc_point_stab_x_ref():
+    """build_params with ref_type=point_stab paces x_ref at pref_speed
+    instead of tiling the goal."""
+    from sicnav_tpu.env import crowd_sim
+    from sicnav_tpu.env.types import EnvConfig
+    from sicnav_tpu.mpc import campc
+    from sicnav_tpu.mpc.ocp import MPCConfig, OCP
+
+    env_cfg = EnvConfig(scenario="circle_crossing", human_policy="orca",
+                        human_num=2, max_humans=2,
+                        robot_kinematics="unicycle")
+    state = crowd_sim.reset_device(jax.random.PRNGKey(0), env_cfg)
+    cfg = MPCConfig(num_hums=2, ref_type="point_stab")
+    params = campc.build_params(OCP(cfg), state, env_cfg)
+    steps = np.linalg.norm(np.diff(np.asarray(params.x_ref[:, :2]), axis=0),
+                           axis=1)
+    # every reference stage advances by at most one pref_speed step and the
+    # first stages move (robot starts far from goal in circle crossing)
+    assert np.all(steps <= cfg.pref_speed * cfg.dt + 1e-5)
+    assert steps[0] > 0.9 * cfg.pref_speed * cfg.dt
