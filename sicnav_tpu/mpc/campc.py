@@ -145,6 +145,33 @@ def _shift_guess(ocp: OCP, z_prev, params: MPCParams):
     return ocp.pack(u_rob, u_hums, lam, slacks)
 
 
+def reuse_limit(cfg: MPCConfig):
+    """The reference's ``reuse_K`` previous-solution budget (campc.py:121-123):
+    unlimited with warmstart + the embedded-KKT model, else the ORCA-KKT
+    horizon (KKT model) / the full horizon (CVMM). Returns None for
+    unlimited."""
+    if cfg.hum_model == "orca_casadi_kkt":
+        return None if cfg.warmstart else max(cfg.K_orca, 0)
+    return cfg.K
+
+
+def _select_guess(ocp: OCP, carry: CAMPCCarry, params: MPCParams):
+    """Warmstart-or-shifted-previous guess selection (campc.py:595-707):
+    the shifted previous solution is used while the consecutive-failure
+    counter is under ``reuse_K``; past the budget (or without a previous
+    solution) a fresh feasible warmstart is built."""
+    z_fresh = ocp.infer_slacks(WS.warmstart_horizon(ocp, params), params)
+    limit = reuse_limit(ocp.cfg)
+    counter_ok = (jnp.array(True) if limit is None
+                  else carry.num_prev_used < limit)
+    use_prev = carry.has_prev & counter_ok
+    z_shift = _shift_guess(ocp, jnp.where(use_prev, carry.z_prev, z_fresh),
+                           params)
+    z_shift = ocp.infer_slacks(z_shift, params)
+    z_guess = jnp.where(use_prev, z_shift, z_fresh)
+    return jnp.where(jnp.all(jnp.isfinite(z_guess)), z_guess, z_fresh)
+
+
 @functools.partial(jax.jit, static_argnames=("ocp", "env_cfg", "settings"))
 def campc_action(ocp: OCP, state: SimState, carry: CAMPCCarry,
                  env_cfg: EnvConfig,
@@ -153,13 +180,7 @@ def campc_action(ocp: OCP, state: SimState, carry: CAMPCCarry,
     """One CAMPC control step. Returns (action (2,) = (v, r=om*dt), carry')."""
     cfg = ocp.cfg
     params = build_params(ocp, state, env_cfg, mid_samples, mid_logw0)
-
-    z_fresh = ocp.infer_slacks(WS.warmstart_horizon(ocp, params), params)
-    z_shift = _shift_guess(ocp, jnp.where(carry.has_prev, carry.z_prev,
-                                          z_fresh), params)
-    z_shift = ocp.infer_slacks(z_shift, params)
-    z_guess = jnp.where(carry.has_prev, z_shift, z_fresh)
-    z_guess = jnp.where(jnp.all(jnp.isfinite(z_guess)), z_guess, z_fresh)
+    z_guess = _select_guess(ocp, carry, params)
 
     f_fn = lambda z: ocp.cost(z, params)
     ce_fn = lambda z: ocp.eq_residuals(z, params)
@@ -208,7 +229,9 @@ def make_policy(env_cfg: EnvConfig, mpc_cfg: Optional[MPCConfig] = None,
                             dt=env_cfg.dt)
     ocp = OCP(mpc_cfg)
     if settings is None:
-        settings = ipm.IPMSettings()
+        # per-crowd-size iteration caps ("To run at 10 Hz",
+        # campc_acados_opt.py:411-439)
+        settings = ipm.realtime_settings(mpc_cfg.num_hums)
 
     def policy_fn(state: SimState, carry: CAMPCCarry):
         return campc_action(ocp, state, carry, env_cfg, settings)

@@ -42,6 +42,9 @@ class MPCConfig:
     # "point_stab" rolls the multi-phase rotate/cruise/arrive unicycle
     # reference (mpc/ref_traj.py); "goal_tile" repeats the goal pose.
     ref_type: str = "point_stab"
+    # warmstart toggle ([campc] warmstart): with the KKT model it also makes
+    # the previous-solution reuse budget unlimited (campc.py:121-123)
+    warmstart: bool = True
     num_hums: int = 3
     num_walls: int = 4
     soft_constraints: bool = True

@@ -103,7 +103,8 @@ def make_policy(env_cfg: EnvConfig, model: JMIDModel, mid_params,
                             human_pred_mid=True,
                             num_mid_samples=fcfg.num_ret_samples)
     if settings is None:
-        settings = ipm.IPMSettings()
+        # MID-conditioned per-crowd-size caps (campc_acados_opt.py:411-439)
+        settings = ipm.realtime_settings(mpc_cfg.num_hums, with_mid=True)
     ocp = OCP(mpc_cfg)
 
     def policy_fn(state, carry):

@@ -249,3 +249,40 @@ def test_campc_point_stab_x_ref():
     # first stages move (robot starts far from goal in circle crossing)
     assert np.all(steps <= cfg.pref_speed * cfg.dt + 1e-5)
     assert steps[0] > 0.9 * cfg.pref_speed * cfg.dt
+
+
+def test_reuse_k_budget():
+    """Previous-solution reuse is unlimited with warmstart+KKT, budget-
+    limited otherwise (campc.py:121-123, 601, 742)."""
+    from sicnav_tpu.mpc import campc
+    from sicnav_tpu.mpc.ocp import MPCConfig, OCP
+
+    assert campc.reuse_limit(MPCConfig(num_hums=2)) is None
+    assert campc.reuse_limit(
+        MPCConfig(num_hums=2, warmstart=False)) == MPCConfig(num_hums=2).K_orca
+    assert campc.reuse_limit(
+        MPCConfig(num_hums=2, hum_model="cvmm")) == MPCConfig(num_hums=2).K
+
+    from sicnav_tpu.env import crowd_sim
+    from sicnav_tpu.env.types import EnvConfig
+    env_cfg = EnvConfig(scenario="circle_crossing", human_policy="orca",
+                        human_num=2, max_humans=2,
+                        robot_kinematics="unicycle")
+    state = crowd_sim.reset_device(jax.random.PRNGKey(3), env_cfg)
+    cfg = MPCConfig(num_hums=2, hum_model="cvmm")
+    ocp = OCP(cfg)
+    params = campc.build_params(ocp, state, env_cfg)
+
+    # a previous solution poisoned with a large constant: while under the
+    # budget the shifted guess inherits it; past the budget it's discarded
+    carry = campc.init_carry(ocp)._replace(
+        z_prev=jnp.full((cfg.n_z,), 7.7), has_prev=jnp.array(True))
+    z_fresh = campc._select_guess(
+        ocp, carry._replace(num_prev_used=jnp.int32(cfg.K)), params)
+    z_reuse = campc._select_guess(
+        ocp, carry._replace(num_prev_used=jnp.int32(0)), params)
+    assert not np.allclose(np.asarray(z_fresh), np.asarray(z_reuse))
+    # past-budget guess equals the fresh warmstart built with no history
+    z_no_hist = campc._select_guess(ocp, campc.init_carry(ocp), params)
+    np.testing.assert_allclose(np.asarray(z_fresh), np.asarray(z_no_hist),
+                               atol=1e-6)
