@@ -6,11 +6,19 @@ These env vars must be set before jax initializes its backends.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force, not setdefault: the dev shell exports JAX_PLATFORMS=axon (the
+# tunneled TPU), which would silently run the suite single-device on TPU.
+# A sitecustomize may already have imported jax, binding jax_platforms from
+# the env at import time — so ALSO override through jax.config below.
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 
 def pytest_configure(config):
