@@ -25,6 +25,8 @@ def main():
     p.add_argument("--batch", type=int, default=50)
     p.add_argument("--privileged", action="store_true")
     p.add_argument("--ipm_iters", type=int, default=30)
+    p.add_argument("--ref_type", default="point_stab",
+                   choices=["point_stab", "goal_tile"])
     args = p.parse_args()
 
     from sicnav_tpu.env.types import EnvConfig
@@ -74,7 +76,7 @@ def main():
             num_hums=env_cfg.max_humans, num_walls=env_cfg.wall_slots,
             dt=env_cfg.dt,
             hum_model="cvmm" if args.policy == "campc_cvmm" else "orca_casadi_kkt",
-            priviledged_info=args.privileged)
+            priviledged_info=args.privileged, ref_type=args.ref_type)
         from sicnav_tpu.mpc import ipm
         ocp, policy = C.make_policy(env_cfg, mpc_cfg,
                                     settings=ipm.IPMSettings(n_iter=args.ipm_iters))
