@@ -26,20 +26,28 @@ from sicnav_tpu.env.types import EnvConfig, SimState
 from sicnav_tpu.mpc import ipm, warmstart as WS
 from sicnav_tpu.mpc.ocp import MPCConfig, MPCParams, OCP
 from sicnav_tpu.mpc.ref_traj import point_stab_reference
-from sicnav_tpu.ops.geometry import norm2
+from sicnav_tpu.ops.geometry import norm2, wrap_angle
 
 
 class CAMPCCarry(NamedTuple):
-    """Cross-step policy state (reference reset_scenario_values:1255-1272)."""
+    """Cross-step policy state (reference reset_scenario_values:1255-1272).
+
+    ``pred_rob`` / ``pred_hums`` hold the previous solution's stage-1 robot
+    pose (x, y, theta) and human positions — the reality-check anchor for
+    the bring_fwd discrepancy test (campc.py:546-550)."""
     z_prev: jnp.ndarray
-    has_prev: jnp.ndarray      # bool
+    has_prev: jnp.ndarray       # bool
     num_prev_used: jnp.ndarray  # int32
+    pred_rob: jnp.ndarray       # (3,)
+    pred_hums: jnp.ndarray      # (H, 2)
 
 
 def init_carry(ocp: OCP) -> CAMPCCarry:
     return CAMPCCarry(z_prev=jnp.zeros((ocp.cfg.n_z,), jnp.float32),
                       has_prev=jnp.array(False),
-                      num_prev_used=jnp.int32(0))
+                      num_prev_used=jnp.int32(0),
+                      pred_rob=jnp.zeros((3,), jnp.float32),
+                      pred_hums=jnp.zeros((ocp.cfg.num_hums, 2), jnp.float32))
 
 
 def build_params(ocp: OCP, state: SimState, env_cfg: EnvConfig,
@@ -155,16 +163,37 @@ def reuse_limit(cfg: MPCConfig):
     return cfg.K
 
 
+def _rob_pose(ocp: OCP, xr):
+    sin_t, cos_t = ocp.rob_heading(xr)
+    return jnp.stack([xr[0], xr[1], jnp.arctan2(sin_t, cos_t)])
+
+
 def _select_guess(ocp: OCP, carry: CAMPCCarry, params: MPCParams):
     """Warmstart-or-shifted-previous guess selection (campc.py:595-707):
     the shifted previous solution is used while the consecutive-failure
-    counter is under ``reuse_K``; past the budget (or without a previous
-    solution) a fresh feasible warmstart is built."""
+    counter is under ``reuse_K`` AND the world evolved the way the previous
+    solution predicted — the bring_fwd discrepancy test (campc.py:546-550)
+    rebuilds the fresh feasible warmstart when the observed robot pose
+    deviates > 1e-2 or any human position deviates > rob_rad_buffer.
+    Without this check a model-vs-sim divergence (e.g. a wall clamp the
+    model didn't predict) turns the shifted guess into a self-perpetuating
+    fixpoint of huge-slack plans."""
+    cfg = ocp.cfg
     z_fresh = ocp.infer_slacks(WS.warmstart_horizon(ocp, params), params)
-    limit = reuse_limit(ocp.cfg)
+    limit = reuse_limit(cfg)
     counter_ok = (jnp.array(True) if limit is None
                   else carry.num_prev_used < limit)
-    use_prev = carry.has_prev & counter_ok
+
+    cur_rob = _rob_pose(ocp, params.x0_rob)
+    d_rob = jnp.abs(cur_rob - carry.pred_rob)
+    d_rob = d_rob.at[2].set(jnp.abs(wrap_angle(cur_rob[2] -
+                                               carry.pred_rob[2])))
+    hums_xy = params.hums0[:, :2]
+    d_hum = jnp.linalg.norm(hums_xy - carry.pred_hums, axis=-1)
+    consistent = (jnp.all(d_rob <= 1e-2) &
+                  jnp.all(d_hum <= cfg.rob_rad_buffer))
+
+    use_prev = carry.has_prev & counter_ok & consistent
     z_shift = _shift_guess(ocp, jnp.where(use_prev, carry.z_prev, z_fresh),
                            params)
     z_shift = ocp.infer_slacks(z_shift, params)
@@ -213,10 +242,16 @@ def campc_action(ocp: OCP, state: SimState, carry: CAMPCCarry,
                          jnp.stack([v_brake, jnp.float32(0.0)]))
 
     action = jnp.stack([action_u[0], action_u[1] * cfg.dt])
+    # stage-1 prediction of the adopted plan: the next step's bring_fwd
+    # discrepancy anchor (campc.py:546-550)
+    u_rob_used, u_hums_used, _, _ = ocp.unpack(z_used)
+    Xr_used, Xh_used = ocp.rollout(params, u_rob_used, u_hums_used)
     carry_new = CAMPCCarry(
         z_prev=z_used, has_prev=jnp.array(True),
         num_prev_used=jnp.where(use_guess, carry.num_prev_used + 1,
-                                jnp.int32(0)))
+                                jnp.int32(0)),
+        pred_rob=_rob_pose(ocp, Xr_used[1]),
+        pred_hums=Xh_used[1][:, :2])
     return action, carry_new
 
 

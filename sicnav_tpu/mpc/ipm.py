@@ -189,6 +189,16 @@ def solve(f_fn: Callable, ceq_fn: Callable, cineq_fn: Callable,
         ds = -(c_i + s) - J_i @ dz
         dlam = (mu / jnp.maximum(s, st.s_min) - lam) - D * ds
 
+        # NaN/Inf guard: a singular KKT system (extreme warmstarts near the
+        # slack-penalty cliffs) yields non-finite directions; zero the step
+        # so the iterate is preserved (0 * nan would poison z otherwise)
+        step_ok = (jnp.all(jnp.isfinite(dz)) & jnp.all(jnp.isfinite(ds)) &
+                   jnp.all(jnp.isfinite(dlam)) & jnp.all(jnp.isfinite(dy)))
+        dz = jnp.where(step_ok, dz, 0.0)
+        ds = jnp.where(step_ok, ds, 0.0)
+        dlam = jnp.where(step_ok, dlam, 0.0)
+        dy = jnp.where(step_ok, dy, 0.0) if m_e else dy
+
         # fraction-to-boundary step limits
         neg_s = ds < 0
         a_p = jnp.min(jnp.where(neg_s, -st.tau * s / jnp.where(neg_s, ds, -1.0), 1.0))
@@ -220,8 +230,8 @@ def solve(f_fn: Callable, ceq_fn: Callable, cineq_fn: Callable,
         lam_new = jnp.maximum(lam + alpha * a_d * dlam, 1e-12)
         y_new = y + alpha * a_d * dy if m_e else y
 
-        # LM damping adaptation
-        delta_new = jnp.where(improved,
+        # LM damping adaptation (a non-finite step counts as a failure)
+        delta_new = jnp.where(improved & step_ok,
                               jnp.maximum(delta / 3.0, st.delta_min),
                               jnp.minimum(delta * 10.0, st.delta_max))
 

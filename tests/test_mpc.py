@@ -274,9 +274,13 @@ def test_reuse_k_budget():
     params = campc.build_params(ocp, state, env_cfg)
 
     # a previous solution poisoned with a large constant: while under the
-    # budget the shifted guess inherits it; past the budget it's discarded
+    # budget the shifted guess inherits it; past the budget it's discarded.
+    # pred_rob/pred_hums must match the observed state or the bring_fwd
+    # discrepancy check discards the previous solution outright.
     carry = campc.init_carry(ocp)._replace(
-        z_prev=jnp.full((cfg.n_z,), 7.7), has_prev=jnp.array(True))
+        z_prev=jnp.full((cfg.n_z,), 7.7), has_prev=jnp.array(True),
+        pred_rob=campc._rob_pose(ocp, params.x0_rob),
+        pred_hums=params.hums0[:, :2])
     z_fresh = campc._select_guess(
         ocp, carry._replace(num_prev_used=jnp.int32(cfg.K)), params)
     z_reuse = campc._select_guess(
@@ -286,3 +290,41 @@ def test_reuse_k_budget():
     z_no_hist = campc._select_guess(ocp, campc.init_carry(ocp), params)
     np.testing.assert_allclose(np.asarray(z_fresh), np.asarray(z_no_hist),
                                atol=1e-6)
+
+
+def test_bring_fwd_discrepancy_rebuilds_warmstart():
+    """When the world deviates from the previous solution's stage-1
+    prediction (campc.py:546-550), the shifted guess is discarded for a
+    fresh feasible warmstart — the recovery that breaks stale-guess
+    fixpoints after wall clamps."""
+    from sicnav_tpu.env import crowd_sim
+    from sicnav_tpu.env.types import EnvConfig
+    from sicnav_tpu.mpc import campc
+    from sicnav_tpu.mpc.ocp import MPCConfig, OCP
+
+    env_cfg = EnvConfig(scenario="circle_crossing", human_policy="orca",
+                        human_num=2, max_humans=2,
+                        robot_kinematics="unicycle")
+    state = crowd_sim.reset_device(jax.random.PRNGKey(4), env_cfg)
+    cfg = MPCConfig(num_hums=2)
+    ocp = OCP(cfg)
+    params = campc.build_params(ocp, state, env_cfg)
+
+    base = campc.init_carry(ocp)._replace(
+        z_prev=jnp.full((cfg.n_z,), 3.3), has_prev=jnp.array(True),
+        pred_rob=campc._rob_pose(ocp, params.x0_rob),
+        pred_hums=params.hums0[:, :2])
+    z_fresh = campc._select_guess(ocp, campc.init_carry(ocp), params)
+    z_consistent = campc._select_guess(ocp, base, params)
+    assert not np.allclose(np.asarray(z_consistent), np.asarray(z_fresh))
+
+    # robot pose off by 5 cm -> rebuild
+    off_rob = base._replace(pred_rob=base.pred_rob + jnp.array([0.05, 0, 0]))
+    np.testing.assert_allclose(
+        np.asarray(campc._select_guess(ocp, off_rob, params)),
+        np.asarray(z_fresh), atol=1e-6)
+    # a human off by 5 cm -> rebuild
+    off_hum = base._replace(pred_hums=base.pred_hums.at[1, 0].add(0.05))
+    np.testing.assert_allclose(
+        np.asarray(campc._select_guess(ocp, off_hum, params)),
+        np.asarray(z_fresh), atol=1e-6)
