@@ -34,6 +34,8 @@ def main():
     p.add_argument("--env_config", default=None)
     p.add_argument("--policy_config", default=None)
     p.add_argument("--video", default=None, help="output mp4/gif path")
+    p.add_argument("--ipm_iters", type=int, default=None,
+                   help="IPM iterations (default: per-crowd realtime caps)")
     p.add_argument("--output_pickle", default=None)
     p.add_argument("--privileged", action="store_true",
                    help="SICNav-p (true human goals) vs SICNav-np")
@@ -79,7 +81,10 @@ def main():
         if args.policy_config:
             from sicnav_tpu.config import load_mpc_config
             mpc_cfg = load_mpc_config(args.policy_config, cfg)
-        ocp, policy = C.make_policy(cfg, mpc_cfg)
+        from sicnav_tpu.mpc import ipm
+        settings = (ipm.IPMSettings(n_iter=args.ipm_iters)
+                    if args.ipm_iters else None)
+        ocp, policy = C.make_policy(cfg, mpc_cfg, settings=settings)
         carry = C.init_carry(ocp)
     elif args.policy == "dwa":
         from sicnav_tpu.policies.dwa import dwa_policy
