@@ -58,11 +58,15 @@ def realtime_settings(num_hums: int, with_mid: bool = False,
     if base is None:
         base = IPMSettings()
     if with_mid:
-        table = {1: 40, 2: 32, 3: 24}
-        n = table.get(num_hums, 18)
+        # fused step measured 76 ms p50 at 30 iters with a 128-dim JMID
+        # (3 humans, one v5e chip) — inside the 100 ms budget
+        table = {1: 40, 2: 34, 3: 30}
+        n = table.get(num_hums, 20)
     else:
-        table = {1: 40, 2: 34, 3: 25}
-        n = table.get(num_hums, 16)
+        # 40 iters = 70 ms p50 / 75 ms p95 at 3 humans on one v5e chip;
+        # bottleneck cases that time out at 25 iters succeed at 40
+        table = {1: 48, 2: 44, 3: 40}
+        n = table.get(num_hums, 25)
     return dataclasses.replace(base, n_iter=n)
 
 
