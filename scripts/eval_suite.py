@@ -15,9 +15,13 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--policy", default="dwa",
                    choices=["dwa", "orca_plus", "campc", "campc_cvmm",
-                            "sarl", "rgl"])
+                            "sarl", "rgl", "sicnav_diffusion"])
     p.add_argument("--checkpoint", default=None,
-                   help="value-net checkpoint for sarl/rgl")
+                   help="value-net checkpoint for sarl/rgl, or JMID "
+                        "checkpoint for sicnav_diffusion")
+    p.add_argument("--noise_std", type=float, default=0.0,
+                   help="robustness eval: Gaussian observation noise std "
+                        "(sicnav_acados.py:1184-1237)")
     p.add_argument("--num_cases", type=int, default=500)
     p.add_argument("--num_humans", type=int, default=3)
     p.add_argument("--scenario", default="circle_crossing")
@@ -69,6 +73,35 @@ def main():
 
         res = harness.evaluate_policy(greedy, env_cfg, args.num_cases,
                                       args.phase, args.batch)
+    elif args.policy == "sicnav_diffusion":
+        import jax
+        from sicnav_tpu.env import crowd_sim as CS
+        from sicnav_tpu.diffusion.models import ModelConfig
+        from sicnav_tpu.diffusion.mid import JMIDModel, load_checkpoint
+        from sicnav_tpu.diffusion import forecaster as FC
+        from sicnav_tpu.mpc import ipm, sicnav_diffusion as SD
+        model = JMIDModel(ModelConfig(context_dim=64, tf_layer=1), joint=True)
+        fcfg = FC.ForecasterConfig(num_samples=20, num_ret_samples=5,
+                                   dt=env_cfg.dt)
+        state0 = CS.reset_host(env_cfg, case=0)
+        fstate = FC.init_state(env_cfg.max_humans, fcfg)
+        batch = FC._scene_batch_from_hist(fstate, state0, fcfg)
+        key = jax.random.PRNGKey(0)
+        params = model.init({"params": key, "dropout": key}, batch, key)
+        if args.checkpoint:
+            params = load_checkpoint(os.path.abspath(args.checkpoint), params)
+        ocp, policy = SD.make_policy(
+            env_cfg, model, params, fcfg=fcfg,
+            settings=ipm.IPMSettings(n_iter=args.ipm_iters))
+        if args.noise_std > 0:
+            from sicnav_tpu.utils.robustness import (NoiseConfig,
+                                                     noisy_policy_stateful)
+            policy = noisy_policy_stateful(
+                policy, NoiseConfig(args.noise_std, args.noise_std))
+        res = harness.evaluate_policy(
+            None, env_cfg, args.num_cases, args.phase, args.batch,
+            stateful_policy=(
+                lambda: SD.init_carry(ocp, env_cfg.max_humans, fcfg), policy))
     else:
         from sicnav_tpu.mpc.ocp import MPCConfig
         from sicnav_tpu.mpc import campc as C
@@ -80,6 +113,11 @@ def main():
         from sicnav_tpu.mpc import ipm
         ocp, policy = C.make_policy(env_cfg, mpc_cfg,
                                     settings=ipm.IPMSettings(n_iter=args.ipm_iters))
+        if args.noise_std > 0:
+            from sicnav_tpu.utils.robustness import (NoiseConfig,
+                                                     noisy_policy_stateful)
+            policy = noisy_policy_stateful(
+                policy, NoiseConfig(args.noise_std, args.noise_std))
         res = harness.evaluate_policy(
             None, env_cfg, args.num_cases, args.phase, args.batch,
             stateful_policy=(lambda: C.init_carry(ocp), policy))

@@ -37,6 +37,12 @@ def main():
     p.add_argument("--ipm_iters", type=int, default=None,
                    help="IPM iterations (default: per-crowd realtime caps)")
     p.add_argument("--output_pickle", default=None)
+    p.add_argument("--debug_pickle", default=None,
+                   help="persist per-step solver introspection: IPM "
+                        "iteration tables + named constraint violations "
+                        "(reference debug_material.pkl, campc.py:861-979)")
+    p.add_argument("--checkpoint", default=None,
+                   help="JMID checkpoint for --policy sicnav_diffusion")
     p.add_argument("--privileged", action="store_true",
                    help="SICNav-p (true human goals) vs SICNav-np")
     args = p.parse_args()
@@ -83,9 +89,12 @@ def main():
             mpc_cfg = load_mpc_config(args.policy_config, cfg)
         from sicnav_tpu.mpc import ipm
         settings = (ipm.IPMSettings(n_iter=args.ipm_iters)
-                    if args.ipm_iters else None)
+                    if args.ipm_iters else ipm.realtime_settings(cfg.max_humans))
         ocp, policy = C.make_policy(cfg, mpc_cfg, settings=settings)
         carry = C.init_carry(ocp)
+        if args.debug_pickle:
+            policy = lambda s, c: C.campc_action(ocp, s, c, cfg, settings,
+                                                 debug=True)
     elif args.policy == "dwa":
         from sicnav_tpu.policies.dwa import dwa_policy
         policy = lambda s: (dwa_policy(s, cfg), None)
@@ -93,15 +102,56 @@ def main():
         from sicnav_tpu.policies.orca_robot import orca_robot_action
         policy = lambda s: (orca_robot_action(s, cfg), None)
     else:
-        raise SystemExit("sicnav_diffusion needs a trained checkpoint; "
-                         "use scripts/eval_sicnav_diffusion.py")
+        from sicnav_tpu.diffusion.models import ModelConfig
+        from sicnav_tpu.diffusion.mid import JMIDModel, load_checkpoint
+        from sicnav_tpu.diffusion import forecaster as FC
+        from sicnav_tpu.mpc import ipm, sicnav_diffusion as SD
+        model = JMIDModel(ModelConfig(context_dim=64, tf_layer=1), joint=True)
+        fcfg = FC.ForecasterConfig(num_samples=20, num_ret_samples=5,
+                                   dt=cfg.dt)
+        fstate0 = FC.init_state(cfg.max_humans, fcfg)
+        batch0 = FC._scene_batch_from_hist(fstate0, state, fcfg)
+        key = jax.random.PRNGKey(0)
+        params = model.init({"params": key, "dropout": key}, batch0, key)
+        if args.checkpoint:
+            params = load_checkpoint(os.path.abspath(args.checkpoint), params)
+        settings = (ipm.IPMSettings(n_iter=args.ipm_iters) if args.ipm_iters
+                    else ipm.realtime_settings(cfg.max_humans, with_mid=True))
+        ocp, policy = SD.make_policy(cfg, model, params, fcfg=fcfg,
+                                     settings=settings)
+        carry = SD.init_carry(ocp, cfg.max_humans, fcfg, seed=args.test_case)
 
     # --- episode loop (simple_test.py:216-279) ---------------------------
     log = []
     states = [state]
+    debug_steps = []
     t0 = time.time()
     for step_i in range(max_steps):
-        if carry is not None:
+        if args.debug_pickle and args.policy in ("campc", "campc_cvmm"):
+            from sicnav_tpu.mpc import introspection as IN
+            action, carry, dbg = policy(state, carry)
+            dbg_np = jax.tree.map(np.asarray, dbg)
+            name, val, flat = IN.argmax_violated(dbg_np.viol_used)
+            debug_steps.append(dict(
+                step=step_i,
+                trace={k: np.asarray(v) for k, v in
+                       dbg_np.trace._asdict().items()},
+                info={k: float(v) for k, v in dbg_np.info._asdict().items()},
+                viol_sol={k: float(v.max_viol) for k, v in
+                          dbg_np.viol_sol.items()},
+                viol_used={k: float(v.max_viol) for k, v in
+                           dbg_np.viol_used.items()},
+                used_guess=bool(dbg_np.used_guess),
+                sol_cost=float(dbg_np.sol_cost),
+                guess_cost=float(dbg_np.guess_cost),
+                slack_max=float(dbg_np.slack_max),
+                worst=dict(name=name, value=val,
+                           row=IN.describe_row(ocp, name, flat))))
+            if bool(dbg_np.used_guess) or val > 1e-2:
+                print(f"  [solve] used_guess={bool(dbg_np.used_guess)} "
+                      f"worst={debug_steps[-1]['worst']['row']} "
+                      f"viol={val:.2e}")
+        elif carry is not None:
             action, carry = policy(state, carry)
         else:
             action, _ = policy(state)
@@ -138,6 +188,11 @@ def main():
     if args.output_pickle:
         with open(args.output_pickle, "wb") as f:
             pickle.dump(summary, f)
+    if args.debug_pickle and debug_steps:
+        with open(args.debug_pickle, "wb") as f:
+            pickle.dump(dict(summary=summary, solves=debug_steps), f)
+        print("wrote", args.debug_pickle,
+              f"({len(debug_steps)} instrumented solves)")
     if args.video:
         from sicnav_tpu.utils.render import render_episode
         traj = jax.tree.map(lambda *xs: jnp.stack(xs), *states)

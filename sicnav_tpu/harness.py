@@ -20,14 +20,16 @@ from sicnav_tpu.env.types import EnvConfig
 
 def evaluate_policy(policy_fn: Callable, cfg: EnvConfig, num_cases: int = 500,
                     phase: str = "test", batch: int = 50,
-                    stateful_policy=None) -> Dict:
+                    stateful_policy=None, mesh=None) -> Dict:
     """Run ``num_cases`` seeded episodes; returns the reference summary
     metrics (RL_test.py:86-100).
 
     policy_fn: SimState -> (2,) action (stateless policies), or pass
     ``stateful_policy=(init_carry_fn, step_fn)`` for carry-state policies
     (e.g. CAMPC). Both paths vmap the whole episode batch so per-step
-    policy cost amortizes across cases.
+    policy cost amortizes across cases. Pass ``mesh`` (jax.sharding.Mesh)
+    to shard the case batch over it: XLA partitions the fleet of episodes
+    (and their MPC solves) across chips over ICI (SURVEY.md §2.9).
     """
     max_steps = int(cfg.time_limit / cfg.dt) + 2
     all_stats = []
@@ -36,6 +38,9 @@ def evaluate_policy(policy_fn: Callable, cfg: EnvConfig, num_cases: int = 500,
         cases = list(range(start, min(start + batch, num_cases)))
         states = [crowd_sim.reset_host(cfg, c, phase) for c in cases]
         batch_states = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+        if mesh is not None and len(cases) % mesh.devices.size == 0:
+            from sicnav_tpu.parallel.mesh import shard_batch
+            batch_states = shard_batch(batch_states, mesh)
         if stateful_policy is None:
             _, stats, _ = rollout.batch_rollout(batch_states, policy_fn, cfg,
                                                 max_steps)
@@ -44,6 +49,9 @@ def evaluate_policy(policy_fn: Callable, cfg: EnvConfig, num_cases: int = 500,
             carries = jax.tree.map(
                 lambda *xs: jnp.stack(xs),
                 *[init_carry_fn() for _ in cases])
+            if mesh is not None and len(cases) % mesh.devices.size == 0:
+                from sicnav_tpu.parallel.mesh import shard_batch
+                carries = shard_batch(carries, mesh)
             _, stats = rollout.batch_rollout_stateful(
                 batch_states, carries, step_fn, cfg, max_steps)
         all_stats.append(jax.tree.map(np.asarray, stats))

@@ -201,12 +201,15 @@ def _select_guess(ocp: OCP, carry: CAMPCCarry, params: MPCParams):
     return jnp.where(jnp.all(jnp.isfinite(z_guess)), z_guess, z_fresh)
 
 
-@functools.partial(jax.jit, static_argnames=("ocp", "env_cfg", "settings"))
+@functools.partial(jax.jit,
+                   static_argnames=("ocp", "env_cfg", "settings", "debug"))
 def campc_action(ocp: OCP, state: SimState, carry: CAMPCCarry,
                  env_cfg: EnvConfig,
                  settings: ipm.IPMSettings = ipm.IPMSettings(),
-                 mid_samples=None, mid_logw0=None):
-    """One CAMPC control step. Returns (action (2,) = (v, r=om*dt), carry')."""
+                 mid_samples=None, mid_logw0=None, debug: bool = False):
+    """One CAMPC control step. Returns (action (2,) = (v, r=om*dt), carry');
+    with ``debug=True`` also a ``introspection.SolveDebug`` pytree (the
+    reference's per-solve debug_material, campc.py:861-979)."""
     cfg = ocp.cfg
     params = build_params(ocp, state, env_cfg, mid_samples, mid_logw0)
     z_guess = _select_guess(ocp, carry, params)
@@ -214,7 +217,11 @@ def campc_action(ocp: OCP, state: SimState, carry: CAMPCCarry,
     f_fn = lambda z: ocp.cost(z, params)
     ce_fn = lambda z: ocp.eq_residuals(z, params)
     ci_fn = lambda z: ocp.ineq_residuals(z, params)
-    z_sol, info = ipm.solve(f_fn, ce_fn, ci_fn, z_guess, settings)
+    if debug:
+        z_sol, info, raw_trace = ipm.solve(f_fn, ce_fn, ci_fn, z_guess,
+                                           settings, return_trace=True)
+    else:
+        z_sol, info = ipm.solve(f_fn, ce_fn, ci_fn, z_guess, settings)
 
     # --- failure cascade --------------------------------------------------
     sol_cost = ocp.cost(z_sol, params)
@@ -252,6 +259,19 @@ def campc_action(ocp: OCP, state: SimState, carry: CAMPCCarry,
                                 jnp.int32(0)),
         pred_rob=_rob_pose(ocp, Xr_used[1]),
         pred_hums=Xh_used[1][:, :2])
+    if debug:
+        from sicnav_tpu.mpc import introspection as IN
+        _, _, _, slacks_used = ocp.unpack(z_used)
+        dbg = IN.SolveDebug(
+            trace=IN.IterTrace(*raw_trace),
+            info=info,
+            viol_sol=IN.constraint_report(ocp, z_sol, params),
+            viol_used=IN.constraint_report(ocp, z_used, params),
+            used_guess=use_guess,
+            sol_cost=sol_cost, guess_cost=guess_cost,
+            slack_max=jnp.max(jnp.concatenate(
+                [jnp.atleast_1d(x) for x in slacks_used])))
+        return action, carry_new, dbg
     return action, carry_new
 
 

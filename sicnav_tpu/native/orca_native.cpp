@@ -6,6 +6,12 @@
 // C++ library plays in the reference (crowd_sim_plus/envs/policy/orca*.py).
 //
 // C ABI only (driven through ctypes; no pybind11 dependency).
+//
+// Attribution: the incremental 2D linear-programming structure
+// (linearProgram1/2/3) necessarily parallels the RVO2 library
+// (https://gamma.cs.unc.edu/RVO2/, Apache-2.0), the canonical
+// implementation of the published ORCA algorithm; this file was written
+// fresh against the paper and the RVO2 public API semantics.
 
 #include <algorithm>
 #include <cmath>

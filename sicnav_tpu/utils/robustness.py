@@ -40,3 +40,15 @@ def noisy_policy(policy_fn, cfg: NoiseConfig):
                                  state.step_idx)
         return policy_fn(perturb_observation(state, key, cfg))
     return wrapped
+
+
+def noisy_policy_stateful(step_fn, cfg: NoiseConfig):
+    """Carry-state variant for CAMPC / SICNav-Diffusion — the controllers the
+    reference's robustness eval actually targets (sicnav_acados.py:1184-1237).
+    ``step_fn(state, carry) -> (action, carry)``; returns a wrapper with the
+    same signature that perturbs only what the policy observes."""
+    def wrapped(state: SimState, carry):
+        key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed),
+                                 state.step_idx)
+        return step_fn(perturb_observation(state, key, cfg), carry)
+    return wrapped

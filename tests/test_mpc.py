@@ -328,3 +328,45 @@ def test_bring_fwd_discrepancy_rebuilds_warmstart():
     np.testing.assert_allclose(
         np.asarray(campc._select_guess(ocp, off_hum, params)),
         np.asarray(z_fresh), atol=1e-6)
+
+
+def test_introspection_reports(ocp, setup):
+    """Named constraint groups + argmax-violated decode + instrumented solve
+    (the reference's debug_material / argmax-violated-constraint tooling)."""
+    from sicnav_tpu.mpc import introspection as IN
+
+    state, params = setup
+    z = jnp.zeros(MPC.n_z)
+    rep = jax.jit(IN.constraint_report, static_argnums=0)(ocp, z, params)
+    # all groups present and named
+    for k in ("coll", "stat", "bound", "acc", "maxvel", "ksi", "kkt",
+              "kkt_stationarity", "kkt_complementarity"):
+        assert k in rep, k
+    name, val, flat = IN.argmax_violated(jax.tree.map(np.asarray, rep))
+    assert val >= 0.0
+    row = IN.describe_row(ocp, name, flat)
+    assert name in row
+
+    # the zero guess violates KKT stationarity (v_pref pull with zero duals)
+    assert float(rep["kkt_stationarity"].max_viol) > 0.0
+
+    # instrumented solve returns a full per-iteration table
+    report = IN.debug_solve_report(ocp, params, z,
+                                   ipm.IPMSettings(n_iter=4))
+    assert report["iterations"]["merit"].shape == (4,)
+    assert np.isfinite(report["info"]["obj"])
+    assert "name" in report["worst"]
+
+
+def test_campc_debug_mode(ocp, setup):
+    """campc_action(debug=True) returns the SolveDebug pytree and the same
+    action as the plain path."""
+    state, _ = setup
+    settings = ipm.IPMSettings(n_iter=3)
+    a0, c0 = C.campc_action(ocp, state, C.init_carry(ocp), ENV, settings)
+    a1, c1, dbg = C.campc_action(ocp, state, C.init_carry(ocp), ENV,
+                                 settings, debug=True)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a0), atol=1e-6)
+    assert dbg.trace.merit.shape == (3,)
+    assert np.asarray(dbg.used_guess).dtype == bool
+    assert set(dbg.viol_used) == set(dbg.viol_sol)

@@ -79,6 +79,54 @@ def test_sharded_env_rollout_matches_unsharded():
                                np.asarray(s_plain.r_pos), atol=1e-6)
 
 
+def test_sharded_harness_matches_unsharded():
+    """evaluate_policy(mesh=...) — the production eval path — yields the
+    same summary metrics as the single-device run."""
+    from sicnav_tpu import harness
+    from sicnav_tpu.env.types import EnvConfig
+    from sicnav_tpu.policies.dwa import dwa_policy
+
+    cfg = EnvConfig(scenario="circle_crossing", human_policy="orca",
+                    human_num=3, max_humans=3, starts_moving=0,
+                    robot_kinematics="unicycle")
+    pol = lambda s: dwa_policy(s, cfg)
+    r_plain = harness.evaluate_policy(pol, cfg, num_cases=8, batch=8)
+    r_shard = harness.evaluate_policy(pol, cfg, num_cases=8, batch=8,
+                                      mesh=make_mesh(8))
+    for k in r_plain:
+        np.testing.assert_allclose(r_shard[k], r_plain[k], atol=1e-6,
+                                   err_msg=k)
+
+
+def test_sharded_campc_fleet_step():
+    """parallel.fleet: one sharded fleet CAMPC control step runs and
+    matches the unsharded vmapped solve."""
+    from sicnav_tpu.env import crowd_sim as CS
+    from sicnav_tpu.env.types import EnvConfig
+    from sicnav_tpu.mpc import campc, ipm
+    from sicnav_tpu.mpc.ocp import MPCConfig
+    from sicnav_tpu.parallel.fleet import make_fleet_policy
+
+    env_cfg = EnvConfig(scenario="circle_crossing", human_policy="orca",
+                        human_num=2, max_humans=2, starts_moving=0,
+                        robot_kinematics="unicycle")
+    mpc_cfg = MPCConfig(num_hums=2, num_walls=env_cfg.wall_slots,
+                        dt=env_cfg.dt, horiz=2, orca_kkt_horiz=2)
+    ocp, fleet_fn = make_fleet_policy(env_cfg, mpc_cfg,
+                                      ipm.IPMSettings(n_iter=3))
+    B = 8
+    keys = jax.random.split(jax.random.PRNGKey(7), B)
+    states = jax.vmap(lambda k: CS.reset_device(k, env_cfg))(keys)
+    carries = jax.vmap(lambda _: campc.init_carry(ocp))(jnp.arange(B))
+
+    a_plain, _ = fleet_fn(states, carries)
+    mesh = make_mesh(8)
+    a_shard, _ = fleet_fn(shard_batch(states, mesh),
+                          shard_batch(carries, mesh))
+    np.testing.assert_allclose(np.asarray(a_shard), np.asarray(a_plain),
+                               atol=1e-5)
+
+
 def test_replicated_params_sharded_batch_training_step():
     """DP training step: replicated params + sharded batch yields the same
     loss and updated params as single-device (XLA all-reduces grads)."""
