@@ -22,6 +22,19 @@ def main():
     p.add_argument("--noise_std", type=float, default=0.0,
                    help="robustness eval: Gaussian observation noise std "
                         "(sicnav_acados.py:1184-1237)")
+    # sicnav_diffusion model/ablation knobs
+    p.add_argument("--encoder_dim", type=int, default=128)
+    p.add_argument("--tf_layer", type=int, default=2)
+    p.add_argument("--num_samples", type=int, default=20)
+    p.add_argument("--num_ret_samples", type=int, default=5)
+    p.add_argument("--no_goal_dynamics", action="store_true",
+                   help="ablation: static weighted-sample goals")
+    p.add_argument("--no_close_to_preds", action="store_true",
+                   help="ablation: drop the sample-spread constraint")
+    p.add_argument("--ral", action="store_true",
+                   help="full RA-L robot config: 8-state sin/cos+accel "
+                        "model + capsule collision + momentum warmstart "
+                        "(mpc_env_new.py:620-660,971)")
     p.add_argument("--num_cases", type=int, default=500)
     p.add_argument("--num_humans", type=int, default=3)
     p.add_argument("--scenario", default="circle_crossing")
@@ -80,8 +93,10 @@ def main():
         from sicnav_tpu.diffusion.mid import JMIDModel, load_checkpoint
         from sicnav_tpu.diffusion import forecaster as FC
         from sicnav_tpu.mpc import ipm, sicnav_diffusion as SD
-        model = JMIDModel(ModelConfig(context_dim=64, tf_layer=1), joint=True)
-        fcfg = FC.ForecasterConfig(num_samples=20, num_ret_samples=5,
+        model = JMIDModel(ModelConfig(context_dim=args.encoder_dim,
+                                      tf_layer=args.tf_layer), joint=True)
+        fcfg = FC.ForecasterConfig(num_samples=args.num_samples,
+                                   num_ret_samples=args.num_ret_samples,
                                    dt=env_cfg.dt)
         state0 = CS.reset_host(env_cfg, case=0)
         fstate = FC.init_state(env_cfg.max_humans, fcfg)
@@ -92,7 +107,9 @@ def main():
             params = load_checkpoint(os.path.abspath(args.checkpoint), params)
         ocp, policy = SD.make_policy(
             env_cfg, model, params, fcfg=fcfg,
-            settings=ipm.IPMSettings(n_iter=args.ipm_iters))
+            settings=ipm.IPMSettings(n_iter=args.ipm_iters),
+            goal_dynamics=not args.no_goal_dynamics,
+            close_to_preds=not args.no_close_to_preds, ral=args.ral)
         if args.noise_std > 0:
             from sicnav_tpu.utils.robustness import (NoiseConfig,
                                                      noisy_policy_stateful)
@@ -109,7 +126,8 @@ def main():
             num_hums=env_cfg.max_humans, num_walls=env_cfg.wall_slots,
             dt=env_cfg.dt,
             hum_model="cvmm" if args.policy == "campc_cvmm" else "orca_casadi_kkt",
-            priviledged_info=args.privileged, ref_type=args.ref_type)
+            priviledged_info=args.privileged, ref_type=args.ref_type,
+            robot_nx=8 if args.ral else 4, robot_capsule=args.ral)
         from sicnav_tpu.mpc import ipm
         ocp, policy = C.make_policy(env_cfg, mpc_cfg,
                                     settings=ipm.IPMSettings(n_iter=args.ipm_iters))

@@ -227,6 +227,42 @@ def _device_circle_human(key, cfg: EnvConfig, prev_pos, prev_goal, prev_rad,
     return p[idx], -p[idx], v_pref, radius, jnp.float32(0.0)
 
 
+def _device_square_human(key, cfg: EnvConfig, prev_pos, prev_goal, prev_rad,
+                         prev_mask, robot_pos, robot_goal):
+    """Square-crossing distribution (crowd_sim_plus.py:484-520): start in a
+    random half-square (side chosen p=0.5), goal in the opposite half;
+    position and goal rejected independently against existing agents."""
+    radius = jnp.float32(cfg.human_radius)
+    k_vp, k_sign, k_p, k_g = jax.random.split(key, 4)
+    v_pref = jnp.where(cfg.randomize_attributes,
+                       jax.random.uniform(k_vp, (), minval=0.5, maxval=1.5),
+                       jnp.float32(cfg.human_v_pref))
+    sign = jnp.where(jax.random.uniform(k_sign) > 0.5, -1.0, 1.0)
+
+    up = jax.random.uniform(k_p, (_TRIES, 2))
+    p = jnp.stack([up[:, 0] * cfg.square_width * 0.5 * sign,
+                   (up[:, 1] - 0.5) * cfg.square_width], -1)
+    ug = jax.random.uniform(k_g, (_TRIES, 2))
+    g = jnp.stack([ug[:, 0] * cfg.square_width * 0.5 * -sign,
+                   (ug[:, 1] - 0.5) * cfg.square_width], -1)
+
+    apos = jnp.concatenate([robot_pos[None], prev_pos], 0)
+    agoal = jnp.concatenate([robot_goal[None], prev_goal], 0)
+    arad = jnp.concatenate([jnp.array([cfg.robot_radius], jnp.float32),
+                            prev_rad], 0)
+    amask = jnp.concatenate([jnp.array([True]), prev_mask], 0)
+    min_dist = radius + arad + cfg.rewards.discomfort_dist
+
+    d_pos = jnp.linalg.norm(p[:, None, :] - apos[None, :, :], axis=-1)
+    bad_p = jnp.any(amask[None, :] & (d_pos < min_dist[None, :]), axis=1)
+    d_goal = jnp.linalg.norm(g[:, None, :] - agoal[None, :, :], axis=-1)
+    bad_g = jnp.any(amask[None, :] & (d_goal < min_dist[None, :]), axis=1)
+
+    i_p = jnp.argmax(~bad_p)
+    i_g = jnp.argmax(~bad_g)
+    return p[i_p], g[i_g], v_pref, radius, jnp.float32(0.0)
+
+
 def _device_hallway_human(key, cfg: EnvConfig, prev_pos, prev_goal, prev_rad,
                           prev_mask, robot_pos, robot_goal, walls, wall_mask):
     radius = jnp.float32(cfg.human_radius)
@@ -284,12 +320,16 @@ def generate_device(key, cfg: EnvConfig, walls, wall_mask):
     n = cfg.human_num
     robot_pos = jnp.array([0.0, -cfg.circle_radius], jnp.float32)
     robot_goal = jnp.array([0.0, cfg.circle_radius], jnp.float32)
-    circle = cfg.scenario in ("circle_crossing", "square_crossing")
+    circle = cfg.scenario == "circle_crossing"
+    square = cfg.scenario == "square_crossing"
 
     def body(carry, key_i):
         (pos, goal, vp, rad, theta, mask, i) = carry
         if circle:
             p, g, v, r, th = _device_circle_human(
+                key_i, cfg, pos, goal, rad, mask, robot_pos, robot_goal)
+        elif square:
+            p, g, v, r, th = _device_square_human(
                 key_i, cfg, pos, goal, rad, mask, robot_pos, robot_goal)
         else:
             p, g, v, r, th = _device_hallway_human(

@@ -84,6 +84,9 @@ class MPCConfig:
     human_pred_mid: bool = False
     mid_stateful_weights: bool = True
     num_mid_samples: int = 1
+    # hums-close-to-preds soft constraint (mpc_env_new.py:1454-1528);
+    # separable from the weighted-goal dynamics for A/B studies
+    close_to_preds: bool = True
     # robot capsule collision model (mpc_env_new.get_rob_coll_capsule:971;
     # buffers from policy.config rob_len_buffer / rob_wid_buffer)
     robot_capsule: bool = False
@@ -112,6 +115,14 @@ class MPCConfig:
     @property
     def kkt(self):
         return self.hum_model == "orca_casadi_kkt"
+
+    @property
+    def preds_con(self):
+        # active whenever a real MID sample grid is supplied (> 1 sample),
+        # independent of the weighted-goal dynamics: the reference gates
+        # them by separate config keys (human_pred_MID vs
+        # hums_close_to_preds, mpc_env_new.py)
+        return self.close_to_preds and self.num_mid_samples > 1
 
     @property
     def n_z(self):
@@ -594,7 +605,7 @@ class OCP:
 
             g["kkt"] = jax.vmap(kkt_stage)(jnp.arange(Ko))  # (Ko, H, 2*n_lam)
 
-        if cfg.human_pred_mid:
+        if cfg.preds_con:
             # hums-close-to-preds (mpc_env_new.get_hums_close_to_preds
             # _constraints:1454-1528): per stage, each human's next position
             # must lie within sqrt(0.5 * max-NN-spread^2) of its closest
@@ -632,7 +643,7 @@ class OCP:
                 (g["ksi"] - sc * slacks.ksi[None, :]).ravel(),
                 (g["kkt"] - sc * slacks.kkt_ineq[None, :, None]).ravel(),
             ]
-        if cfg.human_pred_mid:
+        if cfg.preds_con:
             rows.append((g["preds"] - sc * slacks.preds[None, :]).ravel())
         if cfg.soft_constraints:
             rows += [-slacks.coll, -slacks.stat[None], -slacks.bound[None],
@@ -664,7 +675,7 @@ class OCP:
             kkt_ineq=pos_max(g["kkt"], axis=(0, 2)) if cfg.kkt
             else jnp.zeros(cfg.num_hums),
             kkt_eq=jnp.zeros(cfg.num_hums),
-            preds=pos_max(g["preds"], axis=0) if cfg.human_pred_mid
+            preds=pos_max(g["preds"], axis=0) if cfg.preds_con
             else jnp.zeros(cfg.num_hums))
         z2 = self.pack(u_rob, u_hums, lam, slacks)
         if cfg.kkt:
@@ -690,7 +701,7 @@ class OCP:
         n = (K + 1) * H + (K + 1) * W + 2 * 2 * K + 3 * K
         if cfg.kkt:
             n += 2 * K * H + 2 * Ko * H * cfg.n_lam
-        if cfg.human_pred_mid:
+        if cfg.preds_con:
             n += K * H
         if cfg.soft_constraints:
             n += 5 * H + 3

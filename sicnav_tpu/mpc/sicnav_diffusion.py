@@ -89,8 +89,18 @@ def sicnav_diffusion_action(ocp: OCP, model: JMIDModel, mid_params,
 
 def make_policy(env_cfg: EnvConfig, model: JMIDModel, mid_params,
                 mpc_cfg=None, fcfg: FC.ForecasterConfig = None,
-                settings: ipm.IPMSettings = None):
-    """Build (ocp, policy_fn): policy_fn(state, carry) -> (action, carry)."""
+                settings: ipm.IPMSettings = None,
+                goal_dynamics: bool = True, close_to_preds: bool = True,
+                ral: bool = False):
+    """Build (ocp, policy_fn): policy_fn(state, carry) -> (action, carry).
+
+    ``goal_dynamics``: evolve human goals through the horizon via the
+    stateful MID-sample weight dynamics (mpc_env_new.py:380-520); off =
+    static weighted-sample goals at t+1 only. ``close_to_preds``: the
+    sample-spread soft constraint (mpc_env_new.py:1454-1528). ``ral``:
+    the full RA-L robot configuration — 8-state sin/cos+accel model
+    (mpc_env_new.py:620-660) + capsule collision (:971) + the
+    momentum-blended warmstart pref-vel (orca_casadi_new.py:729-775)."""
     from sicnav_tpu.mpc.ocp import MPCConfig
     if fcfg is None:
         fcfg = FC.ForecasterConfig(dt=env_cfg.dt)
@@ -100,8 +110,11 @@ def make_policy(env_cfg: EnvConfig, model: JMIDModel, mid_params,
         mpc_cfg = MPCConfig(num_hums=env_cfg.max_humans,
                             num_walls=env_cfg.wall_slots,
                             dt=env_cfg.dt, priviledged_info=True,
-                            human_pred_mid=True,
-                            num_mid_samples=fcfg.num_ret_samples)
+                            human_pred_mid=goal_dynamics,
+                            close_to_preds=close_to_preds,
+                            num_mid_samples=fcfg.num_ret_samples,
+                            robot_nx=8 if ral else 4,
+                            robot_capsule=ral)
     if settings is None:
         # MID-conditioned per-crowd-size caps (campc_acados_opt.py:411-439)
         settings = ipm.realtime_settings(mpc_cfg.num_hums, with_mid=True)

@@ -145,6 +145,27 @@ def robot_warmstart_velocity(ocp: OCP, params: MPCParams, xr, xh):
                        goal_vec / jnp.maximum(mag, 1e-9) * cfg.pref_speed,
                        goal_vec)
 
+    if cfg.robot_nx == 8:
+        # RA-L warmstart pref-vel (orca_casadi_new.init_get_rob_ws_v_pref
+        # _fromstate_csfunc:729-775): express the goal pull in the heading
+        # frame; when the goal is behind or > 80 deg off-heading, flip to
+        # (0.01 x_vf, -y_vf) so the turn-in-place unwinds instead of
+        # commanding a backward velocity; then blend 95% momentum — the
+        # current speed rotated by the current angular rate.
+        s, c = xr[2], xr[3]
+        vf_x = c * v_pref[0] + s * v_pref[1]
+        vf_y = -s * v_pref[0] + c * v_pref[1]
+        in_front = ((vf_x > 0.0) &
+                    (jnp.abs(jnp.arctan2(vf_y, vf_x)) < 80.0 * jnp.pi / 180.0))
+        fx, fy = 0.01 * vf_x, -vf_y
+        flip_i = jnp.stack([c * fx - s * fy, s * fx + c * fy])
+        v0 = jnp.where(in_front, v_pref, flip_i)
+        om_cur, dt = xr[5], cfg.dt
+        s_n = s * jnp.cos(om_cur * dt) + c * jnp.sin(om_cur * dt)
+        c_n = c * jnp.cos(om_cur * dt) - s * jnp.sin(om_cur * dt)
+        v_mom = xr[4] * jnp.stack([c_n, s_n])
+        v_pref = 0.05 * v0 + 0.95 * v_mom
+
     nn = jnp.maximum(jnp.sum(norms * norms, -1), 1e-12)
     pts = scalars[:, None] * norms / nn[:, None]
     dirs = jnp.stack([norms[:, 1], -norms[:, 0]], -1)

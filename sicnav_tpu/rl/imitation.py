@@ -32,18 +32,29 @@ class ILConfig:
     batch_size: int = 100
 
 
+def discounted_reward_to_go(rewards, live, adj_gamma):
+    """Per-visited-state labels: value_i = sum_{t>=i} adj_gamma^(t-i) * r_t
+    (explorer.update_memory:108-117 imitation branch). rewards/live: (T,)."""
+    r = jnp.where(live, rewards, 0.0)
+
+    def back(acc, r_t):
+        acc = r_t + adj_gamma * acc
+        return acc, acc
+
+    _, vals = jax.lax.scan(back, jnp.float32(0.0), r, reverse=True)
+    return vals
+
+
 def collect_demonstrations(env_cfg: EnvConfig, il: ILConfig, seed: int = 0,
                            n_episodes: int = None, max_steps: int = None):
     """Batched ORCA-plus rollouts with discounted-return state values.
 
     Returns arrays (robot (N, 9), humans (N, H, 5), hmask (N, H),
-    values (N,)). Value labeling: gamma^((steps-to-go) * dt * v_pref) times
-    the episode outcome (success = 1). This is the dominant term of
-    Explorer.run_k_episodes' discounted-return labels; intermediate reward
-    terms (collision/discomfort contributions along the way) are not yet
-    accumulated — ORCA demonstrations are collision-free so the difference
-    is the rare discomfort term only.
-    """
+    values (N,)). Value labeling follows Explorer.run_k_episodes /
+    update_memory (RL_nav/imitation_learning/explorer.py:21,104-117): each
+    visited state of a SUCCESSFUL episode is labeled with the full
+    discounted cumulative reward-to-go sum_{t>=i} gamma^((t-i) dt v_pref) r_t
+    (success episodes only — update_memory is gated on ReachGoal)."""
     n_episodes = n_episodes or il.il_episodes
     max_steps = max_steps or int(env_cfg.time_limit / env_cfg.dt) + 2
     # ORCA demonstration robot is holonomic
@@ -54,26 +65,35 @@ def collect_demonstrations(env_cfg: EnvConfig, il: ILConfig, seed: int = 0,
 
     pol = lambda s: orca_robot_action(s, cfg, safety_space=il.safety_space)
     _, stats, traj = rollout.batch_rollout(states, pol, cfg, max_steps)
-    # traj leaves: (B, T, ...); rewards via re-stepping are embedded in stats;
-    # recompute per-step rewards from the trajectory for the returns:
-    robot = jax.vmap(jax.vmap(crowd_sim.robot_full_state))(traj)   # (B,T,9)
+    # traj holds post-step states; the visited (pre-step) state at t is
+    # states for t=0 and traj[t-1] after — recompute each step's reward by
+    # replaying the deterministic policy + env step on the visited state
+    pre = jax.tree.map(
+        lambda s0, tr: jnp.concatenate([s0[:, None], tr[:, :-1]], axis=1),
+        states, traj)
+
+    @jax.jit
+    def replay(pre):
+        def one(s):
+            a = pol(s)
+            _, r, _ = crowd_sim.step_masked(s, a, cfg)
+            return r
+        return jax.vmap(jax.vmap(one))(pre)
+
+    rewards = replay(pre)                                          # (B,T)
+    live = ~pre.done                                               # (B,T)
+
+    robot = jax.vmap(jax.vmap(crowd_sim.robot_full_state))(pre)    # (B,T,9)
     humans = jax.vmap(jax.vmap(
-        lambda s: crowd_sim.observable_human_states(s)[0]))(traj)
-    hmask = traj.h_mask                                             # (B,T,H)
-    live = ~traj.done                                               # (B,T)
+        lambda s: crowd_sim.observable_human_states(s)[0]))(pre)
+    hmask = pre.h_mask                                             # (B,T,H)
 
-    # discounted returns from the per-episode total: label each visited state
-    # with gamma^(dt*v_pref)^(steps-to-go) * final reward-to-go approximation
-    adj_gamma = il.gamma ** (cfg.dt * cfg.robot_v_pref)
-    # terminal value: +success , collision penalty etc. folded into reward sum
+    adj_gamma = jnp.float32(il.gamma ** (cfg.dt * cfg.robot_v_pref))
+    values = jax.vmap(lambda r, l: discounted_reward_to_go(r, l, adj_gamma))(
+        rewards, live)
     B, T = live.shape
-    succ = stats.success.astype(jnp.float32)
-
-    steps = stats.steps.astype(jnp.float32)
-    t_idx = jnp.arange(T)[None, :].astype(jnp.float32)
-    steps_to_go = jnp.maximum(steps[:, None] - t_idx, 0.0)
-    values = (adj_gamma ** steps_to_go) * succ[:, None]
-    valid = live
+    # reference gates memory updates on episode success
+    valid = live & stats.success[:, None]
 
     def flat(x):
         return x.reshape((B * T,) + x.shape[2:])

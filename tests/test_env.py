@@ -208,3 +208,51 @@ def test_scenario_generator_golden():
         atol=1e-5)
     np.testing.assert_allclose(
         vp2[:3], [0.791025, 1.408492, 0.94045], atol=1e-5)
+
+
+def test_device_square_crossing_distribution():
+    """The device square_crossing generator matches the host (reference
+    crowd_sim_plus.py:484-520) distribution: KS-style comparison of the
+    start/goal coordinate marginals plus the opposite-half-square invariant."""
+    from sicnav_tpu.env import scenarios as SC
+    from sicnav_tpu.env.types import EnvConfig
+
+    cfg = EnvConfig(scenario="square_crossing", human_policy="orca",
+                    human_num=4, max_humans=4, starts_moving=0)
+
+    # device sample
+    keys = jax.random.split(jax.random.PRNGKey(0), 256)
+    walls = jnp.zeros((cfg.wall_slots, 2, 2))
+    wmask = jnp.zeros((cfg.wall_slots,), bool)
+    gen = jax.jit(lambda k: SC.generate_device(k, cfg, walls, wmask))
+    d_pos, d_goal, _, _, _, d_mask = jax.vmap(gen)(keys)
+    d_pos = np.asarray(d_pos[np.asarray(d_mask)])
+    d_goal = np.asarray(d_goal[np.asarray(d_mask)])
+
+    # host sample
+    h_pos, h_goal = [], []
+    for case in range(256):
+        p, g, _, _, _, m = SC.generate_host(cfg, case)
+        h_pos.append(p[m])
+        h_goal.append(g[m])
+    h_pos = np.concatenate(h_pos)
+    h_goal = np.concatenate(h_goal)
+
+    # opposite-half invariant: start x and goal x on opposite sides
+    assert np.all(d_pos[:, 0] * d_goal[:, 0] <= 0)
+
+    # two-sample KS on each marginal
+    def ks(a, b):
+        xs = np.sort(np.concatenate([a, b]))
+        ca = np.searchsorted(np.sort(a), xs, side="right") / len(a)
+        cb = np.searchsorted(np.sort(b), xs, side="right") / len(b)
+        return np.max(np.abs(ca - cb))
+
+    n = min(len(d_pos), len(h_pos))
+    # critical value at alpha=1e-3 for the two-sample KS statistic
+    crit = 1.95 * np.sqrt(2.0 / n)
+    for k, (dv, hv) in enumerate([(d_pos[:, 0], h_pos[:, 0]),
+                                  (d_pos[:, 1], h_pos[:, 1]),
+                                  (d_goal[:, 0], h_goal[:, 0]),
+                                  (d_goal[:, 1], h_goal[:, 1])]):
+        assert ks(dv[:n], hv[:n]) < crit, f"marginal {k} diverges"

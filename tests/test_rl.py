@@ -88,3 +88,36 @@ def test_rgl_forward_finite():
     params = net.init(key, robot, humans, jnp.ones(3, bool))
     v = net.apply(params, robot, humans, jnp.array([True, True, False]))
     assert np.isfinite(float(v))
+
+
+def test_il_labels_match_reference_formula():
+    """IL value labels = full discounted reward-to-go per visited state
+    (explorer.update_memory:108-117): oracle check on a toy reward sequence
+    and on real collected demonstrations."""
+    from sicnav_tpu.rl import imitation as IL
+
+    # toy oracle: hand-computed reference formula
+    rewards = jnp.array([0.1, -0.25, 0.0, 1.0], jnp.float32)
+    live = jnp.array([True, True, True, True])
+    g = 0.9 ** (0.25 * 1.0)
+    vals = np.asarray(IL.discounted_reward_to_go(rewards, live, g))
+    want = np.array([sum(g ** (t - i) * float(rewards[t]) for t in range(i, 4))
+                     for i in range(4)], np.float32)
+    np.testing.assert_allclose(vals, want, rtol=1e-5)
+
+    # dead steps contribute nothing
+    live2 = jnp.array([True, True, False, False])
+    vals2 = np.asarray(IL.discounted_reward_to_go(rewards, live2, g))
+    np.testing.assert_allclose(vals2[0], 0.1 + g * -0.25, rtol=1e-5)
+
+    # end-to-end: successful demos carry the success reward in the labels
+    cfg = EnvConfig(scenario="circle_crossing", human_policy="orca",
+                    human_num=2, max_humans=2, starts_moving=0)
+    il = IL.ILConfig()
+    robot, humans, hmask, values = IL.collect_demonstrations(
+        cfg, il, n_episodes=4, max_steps=30)
+    assert len(values) > 0
+    # last visited state of each episode gets ~ the terminal success reward
+    assert values.max() > 0.9
+    # all labels bounded by the max possible discounted return
+    assert values.max() <= 1.0 + 1e-5
