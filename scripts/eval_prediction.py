@@ -48,6 +48,13 @@ def main():
     p.add_argument("--encoder_dim", type=int, default=256)
     p.add_argument("--tf_layer", type=int, default=3)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--full", action="store_true",
+                   help="full metric sweep (eval_not_sicnav parity): "
+                        "most-likely ADE/FDE, KDE-NLL, per-horizon-fraction "
+                        "ADE, obstacle violations, NFE count")
+    p.add_argument("--time", action="store_true",
+                   help="benchmark single-scene inference latency "
+                        "(reference mid.py time config, :94-102)")
     args = p.parse_args()
 
     from sicnav_tpu.env.types import EnvConfig
@@ -90,7 +97,36 @@ def main():
         params = load_checkpoint(os.path.abspath(args.checkpoint), params)
 
     key = jax.random.PRNGKey(args.seed)
+
+    if args.time and model is not None:
+        # single-scene inference latency benchmark (mid.py:94-102 analog)
+        import time as _time
+        from sicnav_tpu.diffusion.mid import eval_scene
+        from sicnav_tpu.diffusion.diffusion import nfe_count
+        b0 = jax.tree.map(jnp.asarray, examples[0])
+        run = lambda k: model.apply(params, b0, k, args.num_samples,
+                                    method=type(model).sample)
+        out = run(key)  # compile
+        jax.block_until_ready(out)
+        times = []
+        for i in range(20):
+            k = jax.random.fold_in(key, i)
+            t0 = _time.perf_counter()
+            jax.block_until_ready(run(k))
+            times.append(_time.perf_counter() - t0)
+        print(json.dumps({
+            "method": args.method,
+            "inference_ms_p50": float(1e3 * np.median(times)),
+            "inference_ms_p95": float(1e3 * np.percentile(times, 95)),
+            "num_samples": args.num_samples,
+            "nfe": nfe_count(),
+        }, indent=2))
+        return
+
     ades, fdes, sades, sfdes = [], [], [], []
+    extra = {k: [] for k in ("ml_ade", "ml_fde", "kde_nll", "ade_one_fourth",
+                             "ade_two_fourth", "ade_three_fourth",
+                             "obs_violation_rate")}
     for batch in examples:
         horizon = batch.fut_vel.shape[1]
         gt_valid = batch.agent_mask & batch.fut_mask.all(axis=-1)
@@ -99,7 +135,30 @@ def main():
         p0 = jnp.asarray(batch.hist[:, -1, 0:2])
         gt = integrate_velocity_samples(
             jnp.asarray(batch.fut_vel)[None], p0[None], dt)[0]
-        if model is not None:
+        if model is not None and args.full:
+            from sicnav_tpu.diffusion.mid import eval_scene_full
+            key, k = jax.random.split(key)
+            m = eval_scene_full(model, params, jax.tree.map(
+                jnp.asarray, batch), k, args.num_samples)
+            a, f, sa, sf = m["ade"], m["fde"], m["sade"], m["sfde"]
+            for kk in ("ml_ade", "ml_fde", "kde_nll", "ade_one_fourth",
+                       "ade_two_fourth", "ade_three_fourth"):
+                extra[kk].append(float(m[kk]))
+            if not args.data_files and args.scenario.startswith("hallway"):
+                # obstacle violations against the scenario's walls
+                from sicnav_tpu.env.walls import build_walls
+                walls, wmask, _ = build_walls(env_cfg)
+                key, k2 = jax.random.split(key)
+                pred = model.apply(params, jax.tree.map(jnp.asarray, batch),
+                                   k2, args.num_samples,
+                                   method=type(model).sample)
+                viol = jax.vmap(lambda a_i: EV.obstacle_violations(
+                    pred[:, a_i], jnp.asarray(walls), jnp.asarray(wmask),
+                    0.3))(jnp.arange(pred.shape[1]))
+                w_v = gt_valid.astype(np.float32)
+                extra["obs_violation_rate"].append(
+                    float(jnp.sum(viol * w_v) / w_v.sum()))
+        elif model is not None:
             from sicnav_tpu.diffusion.mid import eval_scene
             key, k = jax.random.split(key)
             a, f, sa, sf = eval_scene(model, params, jax.tree.map(
@@ -118,11 +177,18 @@ def main():
         ades.append(float(a)); fdes.append(float(f))
         sades.append(float(sa)); sfdes.append(float(sf))
 
-    print(json.dumps({
+    out = {
         "method": args.method, "num_scenes": len(ades),
         "ade": float(np.mean(ades)), "fde": float(np.mean(fdes)),
         "sade": float(np.mean(sades)), "sfde": float(np.mean(sfdes)),
-    }, indent=2))
+    }
+    if args.full:
+        for k, v in extra.items():
+            if v:
+                out[k] = float(np.mean(v))
+        from sicnav_tpu.diffusion.diffusion import nfe_count
+        out["nfe"] = nfe_count()
+    print(json.dumps(out, indent=2))
 
 
 if __name__ == "__main__":

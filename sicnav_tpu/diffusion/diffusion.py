@@ -72,6 +72,13 @@ def diffusion_loss(net_apply: Callable, sched: VarianceSchedule, key,
     return jnp.mean(err)
 
 
+def nfe_count(num_steps: int = 100, stride: int = 2) -> int:
+    """Denoiser function evaluations per sampling call (the reference counts
+    NFEs at diffusion.py:540; here the schedule is static so the count is a
+    closed form of the config)."""
+    return len(np.arange(num_steps, 0, -stride))
+
+
 def sample(net_apply: Callable, sched: VarianceSchedule, key,
            n_samples: int, context, horizon: int, point_dim: int = 2,
            sampling: str = "ddim", stride: int = 2, flexibility: float = 0.0,

@@ -74,15 +74,64 @@ def most_likely_ade_fde(pred, gt, joint: bool = True):
     return jnp.mean(err), jnp.mean(err[:, -1])
 
 
-def scene_ade_fde(pred, gt, agent_mask):
+def horizon_fraction_ade(pred, gt, mask=None, fractions=(0.25, 0.5, 0.75)):
+    """Min-of-k ADE truncated at fractions of the horizon (the reference's
+    is_eval_hst breakdown: eval_ade_{one,two,three}_fourth, mid.py:382-394).
+
+    pred: (S, T, 2); gt: (T, 2). Returns tuple of scalars, one per
+    fraction."""
+    T = pred.shape[-2]
+    outs = []
+    for f in fractions:
+        n = max(int(round(T * f)), 1)
+        m = None if mask is None else mask[:n]
+        outs.append(jnp.min(ade(pred[:, :n], gt[:n], m)))
+    return tuple(outs)
+
+
+def obstacle_violations(pred, walls, wall_mask, radius: float = 0.0):
+    """Fraction of predicted trajectories that penetrate a static obstacle
+    (reference compute_obs_violations, evaluation.py:235 — there a dilated
+    raster map; here the sim's line-segment walls, violation = any predicted
+    point within ``radius`` of an active wall).
+
+    pred: (S, T, 2); walls: (W, 2, 2); wall_mask: (W,). Returns scalar in
+    [0, 1]."""
+    from sicnav_tpu.ops.geometry import point_to_segment_dist
+    S, T, _ = pred.shape
+    pts = pred.reshape(S * T, 2)
+
+    def min_wall_dist(q):
+        d = point_to_segment_dist(walls[:, 0], walls[:, 1], q[None])
+        return jnp.min(jnp.where(wall_mask, d, jnp.inf))
+
+    d = jax.vmap(min_wall_dist)(pts).reshape(S, T)
+    viol = jnp.any(d < radius, axis=-1)
+    return jnp.mean(viol.astype(jnp.float32))
+
+
+def scene_ade_fde(pred, gt, agent_mask, step_mask=None):
     """Scene-consistent SADE/SFDE: errors averaged over agents per joint
     sample BEFORE taking the min over samples (mid.py:202-235 semantics).
 
-    pred: (S, A, T, 2); gt: (A, T, 2); agent_mask: (A,)."""
+    pred: (S, A, T, 2); gt: (A, T, 2); agent_mask: (A,); step_mask
+    (optional, (A, T)): per-step future observation masks — partially
+    observed agents contribute their observed steps only (the reference's
+    NaN-masked metrics, evaluation.py:11-60)."""
     err = jnp.linalg.norm(pred - gt[None], axis=-1)           # (S, A, T)
     w = agent_mask.astype(err.dtype)
-    sade = jnp.sum(jnp.mean(err, axis=-1) * w[None], axis=-1) / \
+    if step_mask is None:
+        per_agent_ade = jnp.mean(err, axis=-1)                # (S, A)
+        per_agent_fde = err[..., -1]
+    else:
+        sm = step_mask.astype(err.dtype)                      # (A, T)
+        cnt = jnp.maximum(jnp.sum(sm, axis=-1), 1.0)          # (A,)
+        per_agent_ade = jnp.sum(err * sm[None], axis=-1) / cnt[None]
+        last = jnp.maximum(jnp.sum(step_mask.astype(jnp.int32), -1) - 1, 0)
+        per_agent_fde = jnp.take_along_axis(
+            err, last[None, :, None], axis=-1)[..., 0]
+    sade = jnp.sum(per_agent_ade * w[None], axis=-1) / \
         jnp.maximum(jnp.sum(w), 1.0)
-    sfde = jnp.sum(err[..., -1] * w[None], axis=-1) / jnp.maximum(jnp.sum(w), 1.0)
+    sfde = jnp.sum(per_agent_fde * w[None], axis=-1) / jnp.maximum(jnp.sum(w), 1.0)
     best = jnp.argmin(sade)
     return sade[best], sfde[best]

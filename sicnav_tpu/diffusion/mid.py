@@ -152,23 +152,61 @@ def train_step(model: JMIDModel, tx, params, opt_state, batch: SceneBatch,
 @functools.partial(jax.jit, static_argnames=("model", "n_samples"))
 def eval_scene(model: JMIDModel, params, batch: SceneBatch, key,
                n_samples: int = 20):
-    """Min-of-k ADE/FDE + scene SADE/SFDE on one scene."""
+    """Min-of-k ADE/FDE + scene SADE/SFDE on one scene. Partially observed
+    futures are masked per step (evaluation.py:11-60 NaN-mask semantics),
+    not dropped: an agent counts if it has ANY observed future step."""
     pred_vel_pos = model.apply(params, batch, key, n_samples,
                                method=JMIDModel.sample)
     # ground-truth future positions from future velocities
     p0 = batch.hist[:, -1, 0:2]
     gt = integrate_velocity_samples(batch.fut_vel[None], p0[None], 0.25)[0]
-    amask = batch.agent_mask & batch.fut_mask.all(axis=-1)
+    amask = batch.agent_mask & batch.fut_mask.any(axis=-1)
 
     def per_agent(a):
-        return EV.min_ade_fde(pred_vel_pos[:, a], gt[a])
+        return EV.min_ade_fde(pred_vel_pos[:, a], gt[a], batch.fut_mask[a])
 
     ades, fdes = jax.vmap(per_agent)(jnp.arange(gt.shape[0]))
     w = amask.astype(jnp.float32)
     ade = jnp.sum(ades * w) / jnp.maximum(w.sum(), 1.0)
     fde = jnp.sum(fdes * w) / jnp.maximum(w.sum(), 1.0)
-    sade, sfde = EV.scene_ade_fde(pred_vel_pos, gt, amask)
+    sade, sfde = EV.scene_ade_fde(pred_vel_pos, gt, amask, batch.fut_mask)
     return ade, fde, sade, sfde
+
+
+@functools.partial(jax.jit, static_argnames=("model", "n_samples"))
+def eval_scene_full(model: JMIDModel, params, batch: SceneBatch, key,
+                    n_samples: int = 20):
+    """Full metric sweep per scene (eval_not_sicnav parity, mid.py:352+):
+    min-of-k ADE/FDE, SADE/SFDE, most-likely ADE/FDE, KDE-NLL and the
+    per-horizon-fraction ADE breakdown (is_eval_hst, mid.py:382-394)."""
+    pred = model.apply(params, batch, key, n_samples,
+                       method=JMIDModel.sample)                 # (S, A, T, 2)
+    p0 = batch.hist[:, -1, 0:2]
+    gt = integrate_velocity_samples(batch.fut_vel[None], p0[None], 0.25)[0]
+    amask = batch.agent_mask & batch.fut_mask.any(axis=-1)
+    w = amask.astype(jnp.float32)
+    wsum = jnp.maximum(w.sum(), 1.0)
+
+    def per_agent(a):
+        m = batch.fut_mask[a]
+        a_min, f_min = EV.min_ade_fde(pred[:, a], gt[a], m)
+        fr = EV.horizon_fraction_ade(pred[:, a], gt[a], m)
+        nll = EV.kde_nll(pred[:, a], gt[a])
+        return a_min, f_min, fr[0], fr[1], fr[2], nll
+
+    a_min, f_min, fr1, fr2, fr3, nll = jax.vmap(per_agent)(
+        jnp.arange(gt.shape[0]))
+    sade, sfde = EV.scene_ade_fde(pred, gt, amask, batch.fut_mask)
+    ml_ade, ml_fde = EV.most_likely_ade_fde(pred, gt)
+    avg = lambda x: jnp.sum(x * w) / wsum
+    return {
+        "ade": avg(a_min), "fde": avg(f_min),
+        "sade": sade, "sfde": sfde,
+        "ml_ade": ml_ade, "ml_fde": ml_fde,
+        "kde_nll": avg(nll),
+        "ade_one_fourth": avg(fr1), "ade_two_fourth": avg(fr2),
+        "ade_three_fourth": avg(fr3),
+    }
 
 
 def fit(model: JMIDModel, train_batches, val_batches, tc: TrainConfig,

@@ -26,6 +26,8 @@ class EpisodeStats(NamedTuple):
     collision_steps: jnp.ndarray
     wall_collision_steps: jnp.ndarray
     frozen_steps: jnp.ndarray
+    frozen_near_goal_steps: jnp.ndarray  # frozen within 1 m of the goal
+                                         # (terminal-braking audit split)
     danger_steps: jnp.ndarray
     min_dist: jnp.ndarray       # min dmin over episode
     total_reward: jnp.ndarray
@@ -51,6 +53,9 @@ def rollout_episode(state: SimState, policy_fn: Callable, cfg: EnvConfig,
             collision_steps=stats.collision_steps + (live & info.collision),
             wall_collision_steps=stats.wall_collision_steps + (live & info.wall_collision),
             frozen_steps=stats.frozen_steps + (live & info.frozen),
+            frozen_near_goal_steps=stats.frozen_near_goal_steps +
+            (live & info.frozen &
+             (jnp.linalg.norm(state.r_pos - state.r_goal) < 1.0)),
             danger_steps=stats.danger_steps + (live & info.danger),
             min_dist=jnp.minimum(stats.min_dist,
                                  jnp.where(live, info.dmin, jnp.inf)),
@@ -62,7 +67,8 @@ def rollout_episode(state: SimState, policy_fn: Callable, cfg: EnvConfig,
         success=jnp.array(False), timeout=jnp.array(False),
         nav_time=jnp.float32(cfg.time_limit),
         collision_steps=jnp.int32(0), wall_collision_steps=jnp.int32(0),
-        frozen_steps=jnp.int32(0), danger_steps=jnp.int32(0),
+        frozen_steps=jnp.int32(0), frozen_near_goal_steps=jnp.int32(0),
+        danger_steps=jnp.int32(0),
         min_dist=jnp.float32(jnp.inf), total_reward=jnp.float32(0.0),
         steps=jnp.int32(0))
 
@@ -97,6 +103,9 @@ def rollout_episode_stateful(state: SimState, carry0, step_fn: Callable,
             wall_collision_steps=stats.wall_collision_steps +
             (live & info.wall_collision),
             frozen_steps=stats.frozen_steps + (live & info.frozen),
+            frozen_near_goal_steps=stats.frozen_near_goal_steps +
+            (live & info.frozen &
+             (jnp.linalg.norm(state.r_pos - state.r_goal) < 1.0)),
             danger_steps=stats.danger_steps + (live & info.danger),
             min_dist=jnp.minimum(stats.min_dist,
                                  jnp.where(live, info.dmin, jnp.inf)),
@@ -108,7 +117,8 @@ def rollout_episode_stateful(state: SimState, carry0, step_fn: Callable,
         success=jnp.array(False), timeout=jnp.array(False),
         nav_time=jnp.float32(cfg.time_limit),
         collision_steps=jnp.int32(0), wall_collision_steps=jnp.int32(0),
-        frozen_steps=jnp.int32(0), danger_steps=jnp.int32(0),
+        frozen_steps=jnp.int32(0), frozen_near_goal_steps=jnp.int32(0),
+        danger_steps=jnp.int32(0),
         min_dist=jnp.float32(jnp.inf), total_reward=jnp.float32(0.0),
         steps=jnp.int32(0))
 

@@ -75,6 +75,13 @@ def summarize(stats, cfg: EnvConfig) -> Dict:
         "collision_step_freq": float(np.mean(stats.collision_steps / steps)),
         "danger_step_freq": float(np.mean(stats.danger_steps / steps)),
         "frozen_step_freq": float(np.mean(stats.frozen_steps / steps)),
+        # audit split: fraction of frozen steps occurring within 1 m of the
+        # goal (terminal braking) vs mid-episode freezing
+        "frozen_near_goal_fraction": float(
+            np.sum(stats.frozen_near_goal_steps) /
+            max(np.sum(stats.frozen_steps), 1)),
+        "frozen_far_episode_rate": float(np.mean(
+            (stats.frozen_steps - stats.frozen_near_goal_steps) > 0)),
         "mean_total_reward": float(np.mean(stats.total_reward)),
     }
     return out
