@@ -22,6 +22,10 @@ def main():
     p.add_argument("--scenario", default="circle_crossing")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="checkpoints/rl")
+    p.add_argument("--mesh", type=int, default=0,
+                   help="data-parallel training over an N-device mesh "
+                        "(env batch + replay batches sharded, grads "
+                        "all-reduced over ICI)")
     args = p.parse_args()
 
     from sicnav_tpu.env.types import EnvConfig
@@ -46,9 +50,13 @@ def main():
                                                seed=args.seed)
         print(f"IL loss {losses[0]:.4f} -> {losses[-1]:.4f}")
 
+    mesh = None
+    if args.mesh:
+        from sicnav_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(args.mesh)
     params, history = D.train(net, env_cfg, D.DQNConfig(
         total_timesteps=args.total_timesteps), n_envs=args.n_envs,
-        seed=args.seed, init_params=init_params)
+        seed=args.seed, init_params=init_params, mesh=mesh)
     print(json.dumps(history[-3:], indent=2))
 
     os.makedirs(os.path.dirname(os.path.abspath(args.out)) or ".", exist_ok=True)

@@ -240,12 +240,15 @@ def make_collect_step(net, env_cfg: EnvConfig, dqn: DQNConfig, actions):
 def train(net, env_cfg: EnvConfig, dqn: DQNConfig = DQNConfig(),
           n_envs: int = 32, seed: int = 0, total_steps: int = None,
           init_params=None, log_every: int = 200, log_dir: str = None,
-          tensorboard: bool = False):
+          tensorboard: bool = False, mesh=None):
     """Full DQN training loop. Returns (params, metrics history).
 
     ``log_dir`` streams JSONL metrics (utils/metrics.MetricsLogger);
     ``tensorboard=True`` additionally writes TB event files like the
-    reference's CustomCallback (RL_nav/SB3_Support/callbacks.py:62-77)."""
+    reference's CustomCallback (RL_nav/SB3_Support/callbacks.py:62-77).
+    ``mesh`` (jax.sharding.Mesh): data-parallel training — the env batch
+    and sampled replay batches shard over the mesh's data axis, params
+    replicate, and XLA all-reduces the gradients over ICI."""
     logger = None
     if log_dir is not None:
         from sicnav_tpu.utils.metrics import MetricsLogger
@@ -268,6 +271,16 @@ def train(net, env_cfg: EnvConfig, dqn: DQNConfig = DQNConfig(),
     buf = ReplayBuffer.create(dqn.buffer_capacity, H)
     collect = make_collect_step(net, env_cfg, dqn, actions)
 
+    shard = lambda x: x
+    if mesh is not None:
+        from sicnav_tpu.parallel.mesh import replicate, shard_batch
+        assert n_envs % mesh.devices.size == 0
+        shard = lambda tree: shard_batch(tree, mesh)
+        states = shard(states)
+        params = replicate(params, mesh)
+        target_params = params
+        opt_state = replicate(opt_state, mesh)
+
     total = total_steps or dqn.total_timesteps
     history = []
     step_count = 0
@@ -280,6 +293,8 @@ def train(net, env_cfg: EnvConfig, dqn: DQNConfig = DQNConfig(),
         if step_count > dqn.learning_starts:
             key, k = jax.random.split(key)
             batch = buffer_sample(buf, k, dqn.batch_size)
+            if mesh is not None and dqn.batch_size % mesh.devices.size == 0:
+                batch = shard(batch)
             params, opt_state, loss = train_step(net, tx, params,
                                                  target_params, opt_state,
                                                  batch, dqn.gamma)

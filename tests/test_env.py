@@ -256,3 +256,56 @@ def test_device_square_crossing_distribution():
                                   (d_goal[:, 0], h_goal[:, 0]),
                                   (d_goal[:, 1], h_goal[:, 1])]):
         assert ks(dv[:n], hv[:n]) < crit, f"marginal {k} diverges"
+
+
+def test_robocentric_transforms():
+    """Robocentric frames (robot_plus.py:73-166): robot at origin; goal on
+    the +x axis in the goal-aligned frame; distances preserved."""
+    from sicnav_tpu.env import occlusion as OC
+    from sicnav_tpu.env.types import EnvConfig
+
+    cfg = EnvConfig(scenario="circle_crossing", human_policy="orca",
+                    human_num=3, max_humans=3, starts_moving=0)
+    st = CS.reset_host(cfg, case=5)
+    st = st._replace(r_theta=jnp.float32(0.7),
+                     r_vel=jnp.array([0.3 * np.cos(0.7), 0.3 * np.sin(0.7)]))
+
+    rc = OC.robocentric_state(st)
+    np.testing.assert_allclose(np.asarray(rc.r_pos), 0.0, atol=1e-6)
+    assert float(rc.r_theta) == 0.0
+    # heading-aligned: velocity has no y component
+    assert abs(float(rc.r_vel[1])) < 1e-5
+    # relative distances preserved
+    np.testing.assert_allclose(
+        np.asarray(jnp.linalg.norm(rc.h_pos, axis=-1)),
+        np.asarray(jnp.linalg.norm(st.h_pos - st.r_pos, axis=-1)), atol=1e-5)
+
+    robot, humans = OC.robocentric_goal_aligned(st)
+    # goal on +x axis at the true distance (reference's own sanity checks)
+    dist = float(jnp.linalg.norm(st.r_goal - st.r_pos))
+    np.testing.assert_allclose(float(robot[5]), dist, atol=1e-5)
+    assert abs(float(robot[6])) < 1e-5
+    assert humans.shape == (3, 5)
+
+
+def test_occlusion_mask():
+    """A human directly behind a nearer one is occluded; offset humans are
+    not; masked-out humans never occlude (robot_plus.map_occlusion)."""
+    from sicnav_tpu.env import occlusion as OC
+
+    r = jnp.full((3,), 0.3)
+    mask = jnp.array([True, True, True])
+    # human 1 exactly behind human 0 (same bearing, farther)
+    pos = jnp.array([[1.0, 0.0], [2.5, 0.0], [0.0, 2.0]])
+    vis = np.asarray(OC.occlusion_mask(pos, r, mask))
+    assert vis.tolist() == [True, False, True]
+
+    # offset enough to stay visible
+    pos2 = jnp.array([[1.0, 0.0], [2.5, 1.8], [0.0, 2.0]])
+    vis2 = np.asarray(OC.occlusion_mask(pos2, r, mask))
+    assert vis2.tolist() == [True, True, True]
+
+    # the blocker is masked out -> nothing occluded
+    mask3 = jnp.array([False, True, True])
+    vis3 = np.asarray(OC.occlusion_mask(pos, r, mask3))
+    assert vis3.tolist() == [False, True, True]

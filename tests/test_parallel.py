@@ -164,3 +164,24 @@ def test_replicated_params_sharded_batch_training_step():
     for a, b in zip(flat1, flat2):
         # f32 cross-device reduction order shifts adam stats by ~1e-5
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-5)
+
+
+def test_sharded_dqn_train_loop_matches_unsharded():
+    """dqn.train(mesh=...) — the production RL path — produces the same
+    params as single-device for a short run (same keys, same batches)."""
+    from sicnav_tpu.env.types import EnvConfig
+    from sicnav_tpu.rl.networks import SARLNetwork
+    from sicnav_tpu.rl import dqn as RD
+
+    cfg = EnvConfig(scenario="circle_crossing", human_policy="orca",
+                    human_num=2, max_humans=2, starts_moving=0,
+                    robot_kinematics="unicycle")
+    net = SARLNetwork()
+    dqn = RD.DQNConfig(learning_starts=32, batch_size=32,
+                       target_update_interval=2)
+
+    p1, h1 = RD.train(net, cfg, dqn, n_envs=16, seed=3, total_steps=128)
+    p2, h2 = RD.train(net, cfg, dqn, n_envs=16, seed=3, total_steps=128,
+                      mesh=make_mesh(8))
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-5)
