@@ -41,10 +41,16 @@ def main():
     enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--method", default="mid_jp", choices=["mid", "mid_jp"])
+    p.add_argument("--recipe", default=None,
+                   help="named training recipe from the reference's 14-yaml "
+                        "matrix (sicnav_tpu.diffusion.recipes), e.g. "
+                        "ddim_p3_bs256_lr001_eth")
     p.add_argument("--dataset", default="sim")
     p.add_argument("--data_files", nargs="*", default=[],
                    help="ETH/UCY-format txt files (overrides sim generation)")
-    p.add_argument("--epochs", type=int, default=90)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--val_full", action="store_true",
+                   help="full metric sweep on the val split after training")
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--n_scenes", type=int, default=64)
@@ -60,12 +66,24 @@ def main():
     from sicnav_tpu.diffusion.models import ModelConfig
     from sicnav_tpu.diffusion.mid import JMIDModel, TrainConfig, fit
 
+    recipe = None
+    if args.recipe:
+        from sicnav_tpu.diffusion.recipes import get_recipe
+        recipe = get_recipe(args.recipe)
+
+    hist_len = recipe.history_len if recipe else 6
+    horizon = recipe.horizon if recipe else 8
+    dt = recipe.dt if recipe else 0.4
     if args.data_files:
         examples = []
         for f in args.data_files:
-            pos, valid = D.load_ethucy_txt(f)
-            examples += D.build_examples(pos, valid, 0.4, history_len=6,
-                                         horizon=8, max_agents=16)
+            if f.endswith(".txt"):
+                pos, valid = D.load_ethucy_txt(f)
+            else:
+                pos, valid = D.load_trajectory_file(f, dt=dt)
+            examples += D.build_examples(pos, valid, dt,
+                                         history_len=hist_len,
+                                         horizon=horizon, max_agents=16)
     else:
         env_cfg = EnvConfig(
             scenario=args.scenario,
@@ -86,12 +104,20 @@ def main():
             out.append(D.stack_batches(ex[i:i + args.batch_size]))
         return out
 
-    model = JMIDModel(ModelConfig(context_dim=args.encoder_dim,
-                                  tf_layer=args.tf_layer),
-                      joint=args.method == "mid_jp")
-    tc = TrainConfig(joint=args.method == "mid_jp", lr=args.lr,
-                     epochs=args.epochs, batch_size=args.batch_size,
-                     seed=args.seed)
+    if recipe is not None:
+        import dataclasses as _dc
+        model = JMIDModel(recipe.model, joint=recipe.joint)
+        tc = _dc.replace(recipe.train, seed=args.seed,
+                         epochs=args.epochs or recipe.train.epochs,
+                         batch_size=min(recipe.train.batch_size,
+                                        max(len(train), 1)))
+    else:
+        model = JMIDModel(ModelConfig(context_dim=args.encoder_dim,
+                                      tf_layer=args.tf_layer),
+                          joint=args.method == "mid_jp")
+        tc = TrainConfig(joint=args.method == "mid_jp", lr=args.lr,
+                         epochs=args.epochs or 90,
+                         batch_size=args.batch_size, seed=args.seed)
     params, history = fit(model, batches(train), batches(val), tc,
                           checkpoint_dir=os.path.abspath(args.out))
     print(json.dumps(history[-3:], indent=2))
