@@ -95,23 +95,31 @@ def build_params(ocp: OCP, state: SimState, env_cfg: EnvConfig,
     if cfg.ref_type == "point_stab":
         # rolled rotate/cruise/arrive reference regenerated each control
         # step (sicnav_acados.py get_ref_traj:648-670 point_stab branch)
-        poses, _ = point_stab_reference(
+        poses, ref_act = point_stab_reference(
             state.r_pos, state.r_theta, goal, cfg.K, cfg.dt,
             cfg.pref_speed, cfg.max_rot, state.r_radius)
         if cfg.robot_nx == 8:
+            # the RA-L cost tracks the FULL reference state incl. speed
+            # (mpc_env_new.get_cost_eqn:345 residual X[4:] - Xr[4:]; the
+            # reference's goal_states carry the rolled cruise speeds) —
+            # v_ref at stage k is the action that reaches pose k
+            v_ref = jnp.concatenate([ref_act[0:1, 0], ref_act[:, 0]])[:, None]
             x_ref = jnp.concatenate(
                 [poses[:, :2], jnp.sin(poses[:, 2:3]),
-                 jnp.cos(poses[:, 2:3])], axis=-1)
+                 jnp.cos(poses[:, 2:3]), v_ref], axis=-1)
         else:
             x_ref = poses[:, :2]
     elif cfg.robot_nx == 8:
-        # goal-tile: reference includes the goal heading (sin/cos); driving
-        # toward the goal direction subsumes the rotate-in-place phase
+        # goal-tile: reference includes the goal heading (sin/cos) and the
+        # cruise speed; driving toward the goal direction subsumes the
+        # rotate-in-place phase
         to_goal = goal - state.r_pos
         ref_th = jnp.arctan2(to_goal[1], to_goal[0])
+        v_ref = jnp.where(norm2(to_goal) > state.r_radius,
+                          cfg.pref_speed, 0.0)
         x_ref = jnp.tile(jnp.concatenate(
-            [goal, jnp.sin(ref_th)[None], jnp.cos(ref_th)[None]])[None],
-            (cfg.K + 1, 1))
+            [goal, jnp.sin(ref_th)[None], jnp.cos(ref_th)[None],
+             v_ref[None]])[None], (cfg.K + 1, 1))
     else:
         x_ref = jnp.tile(goal[None], (cfg.K + 1, 1))
     inflation = 0.01 + cfg.orca_params.safety_space

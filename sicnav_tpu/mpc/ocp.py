@@ -329,8 +329,12 @@ class OCP:
             cost = 0.5 * jnp.sum(
                 w_pos * (cfg.q_x * dp[:, 0] ** 2 + cfg.q_y * dp[:, 1] ** 2))
             cost = cost + 0.5 * jnp.sum(w_th * sin_res ** 2)
+            # residual X[4:] - Xr[4:] (mpc_env_new.get_cost_eqn:345): the
+            # speed tracks the rolled reference's cruise speed (x_ref col 4),
+            # not zero — tracking zero freezes the robot
+            v_ref = params.x_ref[:, 4] if params.x_ref.shape[-1] > 4 else 0.0
             cost = cost + 0.5 * jnp.sum(
-                cfg.q_v_prev * X_rob[:, 4] ** 2 +
+                cfg.q_v_prev * (X_rob[:, 4] - v_ref) ** 2 +
                 cfg.q_om_prev * X_rob[:, 5] ** 2 +
                 cfg.q_v_prev_dot * X_rob[:, 6] ** 2 +
                 cfg.q_om_prev_dot * X_rob[:, 7] ** 2)
