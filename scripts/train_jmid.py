@@ -121,6 +121,21 @@ def main():
     params, history = fit(model, batches(train), batches(val), tc,
                           checkpoint_dir=os.path.abspath(args.out))
     print(json.dumps(history[-3:], indent=2))
+    if args.val_full:
+        # full metric sweep on the val scenes (eval_not_sicnav parity)
+        import jax.numpy as jnp
+        from sicnav_tpu.diffusion.mid import eval_scene_full
+        key = jax.random.PRNGKey(tc.seed + 7)
+        accum = {}
+        for ex in val:
+            key, k = jax.random.split(key)
+            m = eval_scene_full(model, params,
+                                jax.tree.map(jnp.asarray, ex), k,
+                                tc.eval_samples)
+            for kk, v in m.items():
+                accum.setdefault(kk, []).append(float(v))
+        print(json.dumps({k: float(np.mean(v)) for k, v in accum.items()},
+                         indent=2))
     print("checkpoint:", args.out)
 
 

@@ -37,6 +37,10 @@ class CAMPCCarry(NamedTuple):
     the bring_fwd discrepancy test (campc.py:546-550)."""
     z_prev: jnp.ndarray
     has_prev: jnp.ndarray       # bool
+    prev_ok: jnp.ndarray        # bool — previous solve SUCCEEDED; on failure
+                                # the reference regenerates the fresh
+                                # full-horizon warmstart instead of shifting
+                                # the failed plan (sicnav_acados.py:1341-1343)
     num_prev_used: jnp.ndarray  # int32
     pred_rob: jnp.ndarray       # (3,)
     pred_hums: jnp.ndarray      # (H, 2)
@@ -45,6 +49,7 @@ class CAMPCCarry(NamedTuple):
 def init_carry(ocp: OCP) -> CAMPCCarry:
     return CAMPCCarry(z_prev=jnp.zeros((ocp.cfg.n_z,), jnp.float32),
                       has_prev=jnp.array(False),
+                      prev_ok=jnp.array(False),
                       num_prev_used=jnp.int32(0),
                       pred_rob=jnp.zeros((3,), jnp.float32),
                       pred_hums=jnp.zeros((ocp.cfg.num_hums, 2), jnp.float32))
@@ -201,7 +206,7 @@ def _select_guess(ocp: OCP, carry: CAMPCCarry, params: MPCParams):
     consistent = (jnp.all(d_rob <= 1e-2) &
                   jnp.all(d_hum <= cfg.rob_rad_buffer))
 
-    use_prev = carry.has_prev & counter_ok & consistent
+    use_prev = carry.has_prev & carry.prev_ok & counter_ok & consistent
     z_shift = _shift_guess(ocp, jnp.where(use_prev, carry.z_prev, z_fresh),
                            params)
     z_shift = ocp.infer_slacks(z_shift, params)
@@ -263,6 +268,7 @@ def campc_action(ocp: OCP, state: SimState, carry: CAMPCCarry,
     Xr_used, Xh_used = ocp.rollout(params, u_rob_used, u_hums_used)
     carry_new = CAMPCCarry(
         z_prev=z_used, has_prev=jnp.array(True),
+        prev_ok=~use_guess,
         num_prev_used=jnp.where(use_guess, carry.num_prev_used + 1,
                                 jnp.int32(0)),
         pred_rob=_rob_pose(ocp, Xr_used[1]),

@@ -87,16 +87,31 @@ class MPCConfig:
     # hums-close-to-preds soft constraint (mpc_env_new.py:1454-1528);
     # separable from the weighted-goal dynamics for A/B studies
     close_to_preds: bool = True
-    # robot capsule collision model (mpc_env_new.get_rob_coll_capsule:971;
-    # buffers from policy.config rob_len_buffer / rob_wid_buffer)
+    # RA-L momentum-blended warmstart pref-vel (orca_casadi_new.py:729-775,
+    # 95% momentum). Measured closed-loop the blend makes the warmstart
+    # crawl from rest (v <- 0.95 v + 0.05 goal-pull, ~5 s time constant)
+    # and our cascade adopts warmstarts more often than Acados SQP does,
+    # so it is opt-in here
+    momentum_warmstart: bool = False
+    # robot capsule collision model (mpc_env_new.get_rob_coll_capsule:971):
+    # half-length = 0.5 len + len_buffer - 0.5 (wid + wid_buffer), radius =
+    # hum_r + 0.5 (wid + wid_buffer); with len = wid = 2 robot_radius the
+    # capsule degenerates to the circle model, exactly as the reference's
+    # 0.5 x 0.5 sim robot does (env.config:58-60, buffers policy.config:47)
     robot_capsule: bool = False
-    rob_len: float = 0.5
-    rob_wid: float = 0.5
-    rob_len_buffer: float = 0.2
-    rob_wid_buffer: float = 0.05
+    rob_len: float = 0.6
+    rob_wid: float = 0.6
+    rob_len_buffer: float = 0.01
+    rob_wid_buffer: float = 0.01
     # stage-indexed collision-margin growth (extension beyond the reference:
     # robust-horizon tightening for model-prediction error growth; 0 = off)
     stage_margin: float = 0.0
+    # slack penalty family: "tro" = the Opti penalties (campc.py:280-330,
+    # 1e9-scale quadratics on 1e-3-scaled slacks); "acados" = the RA-L
+    # exporter's per-row L1/L2 penalties (campc_acados_opt.py:363-374,
+    # zl = 10, Zl = 1e4 on RAW violations) — ~5e4x softer, letting the
+    # real-time solver trade small violations for progress
+    slack_mode: str = "tro"
 
     @property
     def K(self):
@@ -115,6 +130,10 @@ class MPCConfig:
     @property
     def kkt(self):
         return self.hum_model == "orca_casadi_kkt"
+
+    @property
+    def slack_sc(self):
+        return SLACK_SCALING if self.slack_mode == "tro" else 1.0
 
     @property
     def preds_con(self):
@@ -347,11 +366,26 @@ class OCP:
         return cost
 
     def slack_cost(self, slacks: Slacks):
-        """Exact reference penalty terms (campc.py:280-330)."""
+        """Exact reference penalty terms (campc.py:280-330), or the RA-L
+        Acados L1/L2 row penalties (campc_acados_opt.py:363-374) scaled by
+        each class's row multiplicity."""
         cfg = self.cfg
         if not cfg.soft_constraints:
             return jnp.float32(0.0)
         K, Ko, W = cfg.K, cfg.K_orca, cfg.num_walls
+        if cfg.slack_mode == "acados":
+            def pen(s, rows):
+                return rows * (1e4 * s ** 2 + 10.0 * jnp.abs(s))
+            tot = jnp.sum(pen(slacks.coll, K + 1))
+            tot += pen(slacks.stat, W * (K + 1))
+            tot += pen(slacks.bound, 4 * K)
+            tot += jnp.sum(pen(slacks.maxvel, K))
+            tot += jnp.sum(pen(slacks.ksi, K))
+            tot += pen(slacks.acc, 3 * K)
+            tot += jnp.sum(pen(slacks.kkt_ineq, 2 * Ko * cfg.n_lam))
+            tot += jnp.sum(1e4 * Ko * (3 + cfg.n_lam) * slacks.kkt_eq ** 2)
+            tot += jnp.sum(pen(slacks.preds, K))
+            return tot
         sc = SLACK_SCALING
         c = SLACK_PENAL
         tot = jnp.sum(101.0 * (K + 1) * c * (sc * slacks.coll) ** 2)
@@ -504,7 +538,7 @@ class OCP:
                 g, grad = self.human_kkt_rows(params, xr, xh, uh_a, lam_a, a)
                 comp = lam_a * g - KKT_RHO
                 res = jnp.concatenate([grad, comp])
-                return res - SLACK_SCALING * slacks.kkt_eq[a]
+                return res - cfg.slack_sc * slacks.kkt_eq[a]
 
             return jax.vmap(per_hum)(jnp.arange(cfg.num_hums))
 
@@ -523,11 +557,14 @@ class OCP:
 
         # robot-human collision, stages 0..K
         if cfg.robot_capsule:
-            # robot as a heading-aligned capsule (mpc_env_new.py:971):
-            # human centers keep clear of the length-wise center segment
-            half_len = 0.5 * (cfg.rob_len + cfg.rob_len_buffer)
-            comb = (params.hum_coll_radii[None, :] +
-                    0.5 * (cfg.rob_wid + cfg.rob_wid_buffer) + 0.01)
+            # robot as a heading-aligned capsule (mpc_env_new.
+            # get_rob_coll_capsule:971-1000): corrected_width = wid +
+            # wid_buffer; segment half-length = 0.5 len + len_buffer
+            # - 0.5 corrected_width (>= 0 degenerate = circle)
+            corr_wid = cfg.rob_wid + cfg.rob_wid_buffer
+            half_len = jnp.maximum(
+                0.5 * cfg.rob_len + cfg.rob_len_buffer - 0.5 * corr_wid, 0.0)
+            comb = params.hum_coll_radii[None, :] + 0.5 * corr_wid
             if cfg.robot_nx == 8:
                 heading = jnp.stack([X_rob[:, 3], X_rob[:, 2]], -1)
             else:
@@ -632,7 +669,7 @@ class OCP:
     def ineq_residuals(self, z, params: MPCParams):
         """All inequality rows (<= 0), slack-shifted."""
         cfg = self.cfg
-        sc = SLACK_SCALING
+        sc = cfg.slack_sc
         _, _, _, slacks = self.unpack(z)
         g = self._ineq_groups(z, params)
         rows = [
@@ -662,7 +699,7 @@ class OCP:
         cfg = self.cfg
         u_rob, u_hums, lam, _ = self.unpack(z)
         g = self._ineq_groups(z, params)
-        sc = SLACK_SCALING
+        sc = cfg.slack_sc
 
         def pos_max(x, axis=None):
             return jnp.maximum(jnp.max(x, axis=axis), 0.0) / sc

@@ -115,8 +115,10 @@ def make_policy(env_cfg: EnvConfig, model: JMIDModel, mid_params,
                             num_mid_samples=fcfg.num_ret_samples,
                             robot_nx=8 if ral else 4,
                             robot_capsule=ral,
-                            # RA-L terminal weight (policy.config:89)
-                            term_q_coeff=75.0 if ral else 100.0)
+                            # RA-L terminal weight (policy.config:89) and
+                            # the Acados exporter's L1/L2 slack penalties
+                            term_q_coeff=75.0 if ral else 100.0,
+                            slack_mode="acados" if ral else "tro")
     if settings is None:
         # MID-conditioned per-crowd-size caps (campc_acados_opt.py:411-439)
         settings = ipm.realtime_settings(mpc_cfg.num_hums, with_mid=True)

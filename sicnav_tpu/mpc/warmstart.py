@@ -145,7 +145,7 @@ def robot_warmstart_velocity(ocp: OCP, params: MPCParams, xr, xh):
                        goal_vec / jnp.maximum(mag, 1e-9) * cfg.pref_speed,
                        goal_vec)
 
-    if cfg.robot_nx == 8:
+    if cfg.robot_nx == 8 and cfg.momentum_warmstart:
         # RA-L warmstart pref-vel (orca_casadi_new.init_get_rob_ws_v_pref
         # _fromstate_csfunc:729-775): express the goal pull in the heading
         # frame; when the goal is behind or > 80 deg off-heading, flip to

@@ -279,6 +279,7 @@ def test_reuse_k_budget():
     # discrepancy check discards the previous solution outright.
     carry = campc.init_carry(ocp)._replace(
         z_prev=jnp.full((cfg.n_z,), 7.7), has_prev=jnp.array(True),
+        prev_ok=jnp.array(True),
         pred_rob=campc._rob_pose(ocp, params.x0_rob),
         pred_hums=params.hums0[:, :2])
     z_fresh = campc._select_guess(
@@ -312,6 +313,7 @@ def test_bring_fwd_discrepancy_rebuilds_warmstart():
 
     base = campc.init_carry(ocp)._replace(
         z_prev=jnp.full((cfg.n_z,), 3.3), has_prev=jnp.array(True),
+        prev_ok=jnp.array(True),
         pred_rob=campc._rob_pose(ocp, params.x0_rob),
         pred_hums=params.hums0[:, :2])
     z_fresh = campc._select_guess(ocp, campc.init_carry(ocp), params)
@@ -370,3 +372,51 @@ def test_campc_debug_mode(ocp, setup):
     assert dbg.trace.merit.shape == (3,)
     assert np.asarray(dbg.used_guess).dtype == bool
     assert set(dbg.viol_used) == set(dbg.viol_sol)
+
+
+def test_failed_solve_rebuilds_fresh_warmstart():
+    """After a failed solve (prev_ok=False) the next guess is the fresh
+    full-horizon warmstart, not the shifted failed plan
+    (sicnav_acados.py:1341-1343 'not self.mpc_sol_succ' branch)."""
+    from sicnav_tpu.mpc import campc
+    from sicnav_tpu.mpc.ocp import MPCConfig, OCP
+    from sicnav_tpu.env import crowd_sim
+    from sicnav_tpu.env.types import EnvConfig
+
+    env_cfg = EnvConfig(scenario="circle_crossing", human_policy="orca",
+                        human_num=2, max_humans=2,
+                        robot_kinematics="unicycle")
+    state = crowd_sim.reset_device(jax.random.PRNGKey(3), env_cfg)
+    cfg = MPCConfig(num_hums=2, hum_model="cvmm")
+    ocp = OCP(cfg)
+    params = campc.build_params(ocp, state, env_cfg)
+    poisoned = campc.init_carry(ocp)._replace(
+        z_prev=jnp.full((cfg.n_z,), 7.7), has_prev=jnp.array(True),
+        prev_ok=jnp.array(False),
+        pred_rob=campc._rob_pose(ocp, params.x0_rob),
+        pred_hums=params.hums0[:, :2])
+    z_fresh = campc._select_guess(ocp, campc.init_carry(ocp), params)
+    np.testing.assert_allclose(
+        np.asarray(campc._select_guess(ocp, poisoned, params)),
+        np.asarray(z_fresh), atol=1e-6)
+
+
+def test_acados_slack_mode():
+    """slack_mode='acados': raw-violation slacks with L1/L2 penalties
+    (campc_acados_opt.py:363-374) — far softer than the T-RO quadratics."""
+    from sicnav_tpu.mpc.ocp import MPCConfig, OCP, Slacks
+
+    cfg_a = MPCConfig(num_hums=2, num_walls=1, slack_mode="acados")
+    cfg_t = MPCConfig(num_hums=2, num_walls=1)
+    assert cfg_a.slack_sc == 1.0
+    oa, ot = OCP(cfg_a), OCP(cfg_t)
+    zero = jnp.zeros(())
+    zH = jnp.zeros((2,))
+    s = Slacks(coll=jnp.array([0.05, 0.0]), stat=zero, bound=zero,
+               maxvel=zH, ksi=zH, acc=zero, kkt_ineq=zH, kkt_eq=zH,
+               preds=zH)
+    # acados: (K+1) * (1e4 * 0.05^2 + 10 * 0.05) = 5 * 25.5
+    np.testing.assert_allclose(float(oa.slack_cost(s)), 5 * 25.5, rtol=1e-5)
+    # same raw violation under tro (s = viol / 1e-3 = 50)
+    s_t = s._replace(coll=jnp.array([50.0, 0.0]))
+    assert float(ot.slack_cost(s_t)) > 1e4 * float(oa.slack_cost(s))
