@@ -240,7 +240,8 @@ def make_collect_step(net, env_cfg: EnvConfig, dqn: DQNConfig, actions):
 def train(net, env_cfg: EnvConfig, dqn: DQNConfig = DQNConfig(),
           n_envs: int = 32, seed: int = 0, total_steps: int = None,
           init_params=None, log_every: int = 200, log_dir: str = None,
-          tensorboard: bool = False, mesh=None):
+          tensorboard: bool = False, mesh=None, save_freq: int = 0,
+          checkpoint_dir: str = None):
     """Full DQN training loop. Returns (params, metrics history).
 
     ``log_dir`` streams JSONL metrics (utils/metrics.MetricsLogger);
@@ -248,7 +249,13 @@ def train(net, env_cfg: EnvConfig, dqn: DQNConfig = DQNConfig(),
     reference's CustomCallback (RL_nav/SB3_Support/callbacks.py:62-77).
     ``mesh`` (jax.sharding.Mesh): data-parallel training — the env batch
     and sampled replay batches shard over the mesh's data axis, params
-    replicate, and XLA all-reduces the gradients over ICI."""
+    replicate, and XLA all-reduces the gradients over ICI.
+
+    ``save_freq`` > 0 with ``checkpoint_dir`` checkpoints params + target
+    + optimizer + the FULL replay buffer every save_freq env steps (the
+    reference CustomCallback's model+replay-buffer saves,
+    RL_nav/SB3_Support/callbacks.py:27-80); training resumes losslessly
+    via ``load_train_checkpoint``."""
     logger = None
     if log_dir is not None:
         from sicnav_tpu.utils.metrics import MetricsLogger
@@ -308,6 +315,47 @@ def train(net, env_cfg: EnvConfig, dqn: DQNConfig = DQNConfig(),
                 history.append(rec)
                 if logger is not None:
                     logger.log(**rec)
+        if (save_freq and checkpoint_dir and
+                step_count % max(save_freq - save_freq % n_envs, n_envs) == 0):
+            save_train_checkpoint(checkpoint_dir, step_count, params,
+                                  target_params, opt_state, buf)
+    if save_freq and checkpoint_dir:
+        save_train_checkpoint(checkpoint_dir, step_count, params,
+                              target_params, opt_state, buf)
     if logger is not None:
         logger.close()
     return params, history
+
+
+def save_train_checkpoint(path, step, params, target_params, opt_state,
+                          buf: ReplayBuffer):
+    """Persist the full training state incl. the replay buffer
+    (callbacks.py:27-80 model + replay-buffer save)."""
+    import os
+    import pickle
+
+    os.makedirs(path, exist_ok=True)
+    state = dict(step=int(step),
+                 params=jax.tree.map(np.asarray, params),
+                 target_params=jax.tree.map(np.asarray, target_params),
+                 opt_state=jax.tree.map(np.asarray, opt_state),
+                 buffer=jax.tree.map(np.asarray, buf))
+    tmp = os.path.join(path, "train_state.pkl.tmp")
+    with open(tmp, "wb") as f:
+        pickle.dump(state, f)
+    os.replace(tmp, os.path.join(path, "train_state.pkl"))
+
+
+def load_train_checkpoint(path):
+    """Returns (step, params, target_params, opt_state, ReplayBuffer)."""
+    import os
+    import pickle
+
+    with open(os.path.join(path, "train_state.pkl"), "rb") as f:
+        st = pickle.load(f)
+    to_dev = lambda tree: jax.tree.map(jnp.asarray, tree)
+    buf = st["buffer"]
+    buf = ReplayBuffer(Transition(*[jnp.asarray(x) for x in buf.data]),
+                       jnp.asarray(buf.idx), jnp.asarray(buf.size))
+    return (st["step"], to_dev(st["params"]), to_dev(st["target_params"]),
+            to_dev(st["opt_state"]), buf)

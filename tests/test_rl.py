@@ -121,3 +121,22 @@ def test_il_labels_match_reference_formula():
     assert values.max() > 0.9
     # all labels bounded by the max possible discounted return
     assert values.max() <= 1.0 + 1e-5
+
+
+def test_train_checkpoint_roundtrip(tmp_path):
+    """save_freq checkpoints persist params + target + optimizer + replay
+    buffer and reload losslessly (CustomCallback parity)."""
+    cfg = EnvConfig(scenario="circle_crossing", human_policy="orca",
+                    human_num=2, max_humans=2, starts_moving=0,
+                    robot_kinematics="unicycle")
+    net = SARLNetwork()
+    dqn = D.DQNConfig(learning_starts=16, batch_size=16,
+                      buffer_capacity=512)
+    params, _ = D.train(net, cfg, dqn, n_envs=8, seed=1, total_steps=64,
+                        save_freq=32, checkpoint_dir=str(tmp_path))
+    step, p2, tp2, opt2, buf = D.load_train_checkpoint(str(tmp_path))
+    assert step == 64
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    assert int(buf.size) > 0
+    assert buf.data.robot.shape[0] == 512
