@@ -27,11 +27,14 @@ def main():
     p.add_argument("--num_cases", type=int, default=5)
     p.add_argument("--num_humans", type=int, default=3)
     p.add_argument("--scenario", default="hallway_bottleneck")
-    p.add_argument("--num_samples", type=int, default=20)
-    p.add_argument("--num_ret_samples", type=int, default=5)
-    p.add_argument("--encoder_dim", type=int, default=64)
-    p.add_argument("--tf_layer", type=int, default=1)
+    p.add_argument("--num_samples", type=int, default=48)
+    p.add_argument("--num_ret_samples", type=int, default=10)
+    p.add_argument("--encoder_dim", type=int, default=128)
+    p.add_argument("--tf_layer", type=int, default=2)
     p.add_argument("--ipm_iters", type=int, default=30)
+    p.add_argument("--goal_dynamics", action="store_true")
+    p.add_argument("--no_close_to_preds", action="store_true")
+    p.add_argument("--ral", action="store_true")
     args = p.parse_args()
 
     from sicnav_tpu.env.types import EnvConfig
@@ -62,7 +65,10 @@ def main():
         params = load_checkpoint(os.path.abspath(args.checkpoint), params)
 
     ocp, policy = SD.make_policy(env_cfg, model, params, fcfg=fcfg,
-                                 settings=ipm.IPMSettings(n_iter=args.ipm_iters))
+                                 settings=ipm.IPMSettings(n_iter=args.ipm_iters),
+                                 goal_dynamics=args.goal_dynamics,
+                                 close_to_preds=not args.no_close_to_preds,
+                                 ral=args.ral)
 
     results = []
     step_times = []

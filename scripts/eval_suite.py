@@ -25,10 +25,11 @@ def main():
     # sicnav_diffusion model/ablation knobs
     p.add_argument("--encoder_dim", type=int, default=128)
     p.add_argument("--tf_layer", type=int, default=2)
-    p.add_argument("--num_samples", type=int, default=20)
-    p.add_argument("--num_ret_samples", type=int, default=5)
-    p.add_argument("--no_goal_dynamics", action="store_true",
-                   help="ablation: static weighted-sample goals")
+    p.add_argument("--num_samples", type=int, default=48)
+    p.add_argument("--num_ret_samples", type=int, default=10)
+    p.add_argument("--goal_dynamics", action="store_true",
+                   help="reference's stateful MID-sample weight dynamics "
+                        "(measured-best default is static weighted goals)")
     p.add_argument("--no_close_to_preds", action="store_true",
                    help="ablation: drop the sample-spread constraint")
     p.add_argument("--ral", action="store_true",
@@ -108,7 +109,7 @@ def main():
         ocp, policy = SD.make_policy(
             env_cfg, model, params, fcfg=fcfg,
             settings=ipm.IPMSettings(n_iter=args.ipm_iters),
-            goal_dynamics=not args.no_goal_dynamics,
+            goal_dynamics=args.goal_dynamics,
             close_to_preds=not args.no_close_to_preds, ral=args.ral)
         if args.noise_std > 0:
             from sicnav_tpu.utils.robustness import (NoiseConfig,

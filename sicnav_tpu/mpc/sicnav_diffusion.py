@@ -8,12 +8,14 @@ into the MPC's human-goal model (weighted sample average — the
 bilevel MPC. One control step is one jitted program; the <100 ms/step
 budget comes from the diffusion scan + the batched IPM sharing the chip.
 
-The OCP runs with ``human_pred_mid``: the human goal slots evolve through
-the horizon via the stateful joint sample-weight dynamics
-(mpc_env_new.get_ORCA_human_dynamics_eqn:380-520) and the
-hums-close-to-preds soft constraint (:1454-1528) bounds the embedded ORCA
-solutions to the sample cloud. Remaining gaps vs the RA-L controller: the
-8-dim sin/cos-heading robot state and the capsule robot collision model.
+Human-goal model: static KDE-weighted sample goals by default (measured
+best, BENCH_EXTRA round-2 A/B) or the reference's stateful joint
+sample-weight dynamics (mpc_env_new.get_ORCA_human_dynamics_eqn:380-520,
+``goal_dynamics=True``); the hums-close-to-preds soft constraint
+(:1454-1528) bounds the embedded ORCA solutions to the sample cloud. The
+full RA-L robot configuration — 8-state sin/cos+accel model, capsule
+collision, Acados slack penalties, momentum warmstart — is available via
+``ral=True`` (mpc_env_new.py:620-660, 971).
 """
 
 from __future__ import annotations
@@ -90,20 +92,26 @@ def sicnav_diffusion_action(ocp: OCP, model: JMIDModel, mid_params,
 def make_policy(env_cfg: EnvConfig, model: JMIDModel, mid_params,
                 mpc_cfg=None, fcfg: FC.ForecasterConfig = None,
                 settings: ipm.IPMSettings = None,
-                goal_dynamics: bool = True, close_to_preds: bool = True,
+                goal_dynamics: bool = False, close_to_preds: bool = True,
                 ral: bool = False):
     """Build (ocp, policy_fn): policy_fn(state, carry) -> (action, carry).
 
     ``goal_dynamics``: evolve human goals through the horizon via the
-    stateful MID-sample weight dynamics (mpc_env_new.py:380-520); off =
-    static weighted-sample goals at t+1 only. ``close_to_preds``: the
-    sample-spread soft constraint (mpc_env_new.py:1454-1528). ``ral``:
+    stateful MID-sample weight dynamics (mpc_env_new.py:380-520); the
+    measured-best default is OFF — static weighted-sample goals at t+1
+    (A/B grid in BENCH_EXTRA.md: static goals + close-to-preds + top-10
+    of 48 samples beats both the stateful mode and plain SICNav-p at the
+    bottleneck). ``close_to_preds``: the sample-spread soft constraint
+    (mpc_env_new.py:1454-1528). ``ral``:
     the full RA-L robot configuration — 8-state sin/cos+accel model
     (mpc_env_new.py:620-660) + capsule collision (:971) + the
     momentum-blended warmstart pref-vel (orca_casadi_new.py:729-775)."""
     from sicnav_tpu.mpc.ocp import MPCConfig
     if fcfg is None:
-        fcfg = FC.ForecasterConfig(dt=env_cfg.dt)
+        # measured-best sampling budget (BENCH_EXTRA round-2 A/B):
+        # 48 raw samples -> KDE top-10, 68.8 ms p50 on one v5e chip
+        fcfg = FC.ForecasterConfig(num_samples=48, num_ret_samples=10,
+                                   dt=env_cfg.dt)
     if mpc_cfg is None:
         # MID-driven human model: evolving weighted-sample goals + the
         # close-to-preds constraint (privileged view: goals from forecasts)
