@@ -94,7 +94,7 @@ def main():
     solve1 = jax.jit(jnp.linalg.solve)
     out["kkt_solve_1x_ms"] = timeit(solve1, A1, b1)
     AB = jnp.broadcast_to(A1, (16, n_m, n_m))
-    bB = jnp.broadcast_to(b1, (16, n_m))
+    bB = jnp.broadcast_to(b1, (16, n_m))[..., None]
     out["kkt_solve_16x_ms"] = timeit(solve1, AB, bB)
     out["kkt_dim"] = int(n_m)
     out["ipm_iters"] = args.ipm_iters
