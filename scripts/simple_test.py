@@ -106,8 +106,8 @@ def main():
         from sicnav_tpu.diffusion.mid import JMIDModel, load_checkpoint
         from sicnav_tpu.diffusion import forecaster as FC
         from sicnav_tpu.mpc import ipm, sicnav_diffusion as SD
-        model = JMIDModel(ModelConfig(context_dim=64, tf_layer=1), joint=True)
-        fcfg = FC.ForecasterConfig(num_samples=20, num_ret_samples=5,
+        model = JMIDModel(ModelConfig(context_dim=128, tf_layer=2), joint=True)
+        fcfg = FC.ForecasterConfig(num_samples=48, num_ret_samples=10,
                                    dt=cfg.dt)
         fstate0 = FC.init_state(cfg.max_humans, fcfg)
         batch0 = FC._scene_batch_from_hist(fstate0, state, fcfg)
@@ -120,6 +120,9 @@ def main():
         ocp, policy = SD.make_policy(cfg, model, params, fcfg=fcfg,
                                      settings=settings)
         carry = SD.init_carry(ocp, cfg.max_humans, fcfg, seed=args.test_case)
+        if args.debug_pickle:
+            policy = lambda s, c: SD.sicnav_diffusion_action(
+                ocp, model, params, s, c, cfg, fcfg, settings, debug=True)
 
     # --- episode loop (simple_test.py:216-279) ---------------------------
     log = []
@@ -127,7 +130,8 @@ def main():
     debug_steps = []
     t0 = time.time()
     for step_i in range(max_steps):
-        if args.debug_pickle and args.policy in ("campc", "campc_cvmm"):
+        if args.debug_pickle and args.policy in ("campc", "campc_cvmm",
+                                                 "sicnav_diffusion"):
             from sicnav_tpu.mpc import introspection as IN
             action, carry, dbg = policy(state, carry)
             dbg_np = jax.tree.map(np.asarray, dbg)

@@ -58,12 +58,16 @@ def weighted_goals(forecasts, log_weights, step: int = 1):
 
 
 @functools.partial(jax.jit, static_argnames=("ocp", "env_cfg", "model",
-                                             "fcfg", "settings"))
+                                             "fcfg", "settings", "debug"))
 def sicnav_diffusion_action(ocp: OCP, model: JMIDModel, mid_params,
                             state: SimState, carry: SICNavDiffCarry,
                             env_cfg: EnvConfig, fcfg: FC.ForecasterConfig,
-                            settings: ipm.IPMSettings = ipm.IPMSettings()):
-    """One SICNav-Diffusion control step. Returns (action (v, r), carry')."""
+                            settings: ipm.IPMSettings = ipm.IPMSettings(),
+                            debug: bool = False):
+    """One SICNav-Diffusion control step. Returns (action (v, r), carry');
+    with ``debug=True`` also the ``introspection.SolveDebug`` pytree (the
+    named-violation / iteration-table introspection the reference surfaces
+    after failed solves, sicnav_acados.py:978-993, 1526-1596)."""
     key, k_fc = jax.random.split(carry.key)
     fstate = FC.update_state_hists(carry.forecaster, state, fcfg)
     forecasts, log_w = FC.predict_ret_best(model, mid_params, fstate, state,
@@ -83,6 +87,12 @@ def sicnav_diffusion_action(ocp: OCP, model: JMIDModel, mid_params,
 
     # feed the MPC a state whose human goals come from the forecaster
     mpc_view = state._replace(h_goal=goals)
+    if debug:
+        action, mpc_carry, dbg = C.campc_action(
+            ocp, mpc_view, carry.mpc, env_cfg, settings,
+            mid_samples=mid_samples, mid_logw0=mid_logw0, debug=True)
+        return action, SICNavDiffCarry(mpc=mpc_carry, forecaster=fstate,
+                                       key=key), dbg
     action, mpc_carry = C.campc_action(ocp, mpc_view, carry.mpc, env_cfg,
                                        settings, mid_samples=mid_samples,
                                        mid_logw0=mid_logw0)
