@@ -29,6 +29,8 @@ def main():
     p.add_argument("--scenario", default="hallway_bottleneck")
     p.add_argument("--num_samples", type=int, default=48)
     p.add_argument("--num_ret_samples", type=int, default=10)
+    p.add_argument("--ddim_stride", type=int, default=2,
+                   help="DDIM stride (NFE = 100/stride)")
     p.add_argument("--encoder_dim", type=int, default=128)
     p.add_argument("--tf_layer", type=int, default=2)
     p.add_argument("--ipm_iters", type=int, default=30)
@@ -53,6 +55,7 @@ def main():
     model = JMIDModel(mcfg, joint=True)
     fcfg = FC.ForecasterConfig(num_samples=args.num_samples,
                                num_ret_samples=args.num_ret_samples,
+                               ddim_stride=args.ddim_stride,
                                dt=env_cfg.dt)
 
     # init / load model params

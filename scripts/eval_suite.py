@@ -27,6 +27,8 @@ def main():
     p.add_argument("--tf_layer", type=int, default=2)
     p.add_argument("--num_samples", type=int, default=48)
     p.add_argument("--num_ret_samples", type=int, default=10)
+    p.add_argument("--ddim_stride", type=int, default=2,
+                   help="DDIM stride (NFE = 100/stride)")
     p.add_argument("--goal_dynamics", action="store_true",
                    help="reference's stateful MID-sample weight dynamics "
                         "(measured-best default is static weighted goals)")
@@ -98,6 +100,7 @@ def main():
                                       tf_layer=args.tf_layer), joint=True)
         fcfg = FC.ForecasterConfig(num_samples=args.num_samples,
                                    num_ret_samples=args.num_ret_samples,
+                                   ddim_stride=args.ddim_stride,
                                    dt=env_cfg.dt)
         state0 = CS.reset_host(env_cfg, case=0)
         fstate = FC.init_state(env_cfg.max_humans, fcfg)

@@ -33,6 +33,9 @@ class ForecasterConfig:
     horizon: int = 8
     num_samples: int = 100
     num_ret_samples: int = 10
+    # DDIM stride over the 100-step schedule (test_time_configs num_steps);
+    # NFE per forecast = 100 / stride
+    ddim_stride: int = 2
     dt: float = 0.25
     joint: bool = True
     cluster_radius: float = ATTENTION_RADIUS
@@ -111,6 +114,7 @@ def predict_ret_best(model: JMIDModel, params, fstate: ForecasterState,
                            in_cluster[:, None] & in_cluster[None, :])
 
     samples = model.apply(params, batch, key, cfg.num_samples,
+                          stride=cfg.ddim_stride,
                           method=JMIDModel.sample)      # (S, H, T_f, 2)
 
     cv = cvmm_forecast(sim, cfg)
