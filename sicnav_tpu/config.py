@@ -115,6 +115,33 @@ def load_mpc_config(path: str, env_cfg: EnvConfig) -> MPCConfig:
         orca_vxy_scaling=get("mpc_env", "orca_vxy_scaling", float, 1.0),
         orca_time_horizon=get("humans", "time_horizon", float, 2.5),
         orca_time_horizon_obst=get("humans", "time_horizon_obst", float, 1.5),
+        # reference trajectory ([campc] ref_type, policy.config:14)
+        ref_type=get("campc", "ref_type", str, "point_stab"),
+        warmstart=get("campc", "warmstart", bool, True),
+        # RA-L keys (sicnav_diffusion/configs/policy.config)
+        robot_nx=8 if get("mpc_env", "robot_model_8state", bool, False) else 4,
+        term_q_coeff=get("mpc_env", "term_q_coeff", float, 100.0),
+        term_q_theta=get("mpc_env", "term_q_theta", float, 2.0),
+        r_om=get("mpc_env", "r_om", float, 0.1),
+        q_x=get("mpc_env", "q_x", float, 1.0),
+        q_y=get("mpc_env", "q_y", float, 1.0),
+        q_theta=get("mpc_env", "q_theta", float, 0.05),
+        q_v_prev=get("mpc_env", "q_v_prev", float, 2.5),
+        q_om_prev=get("mpc_env", "q_om_prev", float, 0.0),
+        q_v_prev_dot=get("mpc_env", "q_v_prev_dot", float, 3.5),
+        q_om_prev_dot=get("mpc_env", "q_om_prev_dot", float, 0.1),
+        robot_capsule=get("mpc_env", "rob_collision_capsule", bool, False),
+        rob_len=get("mpc_env", "rob_len", float, 0.6),
+        rob_wid=get("mpc_env", "rob_wid", float, 0.6),
+        rob_len_buffer=get("mpc_env", "rob_len_buffer", float, 0.01),
+        rob_wid_buffer=get("mpc_env", "rob_wid_buffer", float, 0.01),
+        human_pred_mid=get("mpc_env", "human_pred_MID", bool, False),
+        mid_stateful_weights=get("mpc_env", "MID_stateful_weights", bool,
+                                 True),
+        close_to_preds=get("mpc_env", "hums_close_to_preds", bool, True),
+        num_mid_samples=get("mpc_env", "num_MID_samples", int, 1),
+        momentum_warmstart=get("mpc_env", "momentum_warmstart", bool, False),
+        slack_mode=get("mpc_env", "slack_mode", str, "tro"),
         dt=env_cfg.dt)
 
 

@@ -95,3 +95,30 @@ def test_two_step_lookahead():
     np.testing.assert_allclose(float(rew2[1, 2]), float(r2), atol=1e-5)
     np.testing.assert_allclose(np.asarray(rs2[1, 2]),
                                np.asarray(CS.robot_full_state(s2)), atol=1e-5)
+
+
+def test_shipped_example_configs_load():
+    """configs/{env,policy}.config round-trip through the reference-format
+    loaders, incl. the RA-L keys (commented-out block parses as absent)."""
+    import os
+    from sicnav_tpu.config import load_env_config, load_mpc_config
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    e = load_env_config(os.path.join(root, "configs/env.config"))
+    assert e.scenario == "hallway_bottleneck"
+    assert e.dt == 0.25
+    m = load_mpc_config(os.path.join(root, "configs/policy.config"), e)
+    assert m.hum_model == "orca_casadi_kkt"
+    assert m.robot_nx == 4 and m.slack_mode == "tro"
+    # RA-L keys parse when present
+    import tempfile
+    ral = "[campc]\nhoriz = 4\n[mpc_env]\nrobot_model_8state = true\n" \
+          "rob_collision_capsule = true\nslack_mode = acados\n" \
+          "term_q_coeff = 75.0\nhums_close_to_preds = true\n"
+    with tempfile.NamedTemporaryFile("w", suffix=".config",
+                                     delete=False) as f:
+        f.write(ral)
+        path = f.name
+    m2 = load_mpc_config(path, e)
+    assert m2.robot_nx == 8 and m2.robot_capsule
+    assert m2.slack_mode == "acados" and m2.term_q_coeff == 75.0
