@@ -68,7 +68,10 @@ def build_params(ocp: OCP, state: SimState, env_cfg: EnvConfig,
 
     v = state.r_vel
     heading = jnp.arctan2(v[1], v[0])
-    aligned = jnp.abs(jnp.mod(state.r_theta - heading, 2 * jnp.pi)) < 1e-6
+    # wrapped angular distance: jnp.mod(th - heading, 2 pi) < eps misses the
+    # -eps side (mod gives 2 pi - eps), randomly flagging forward motion as
+    # reverse at float precision
+    aligned = jnp.abs(wrap_angle(state.r_theta - heading)) < 1e-3
     speed = norm2(v)
     v_signed = jnp.where(speed < 1e-9, 0.0,
                          jnp.where(aligned, speed, -speed))

@@ -420,3 +420,31 @@ def test_acados_slack_mode():
     # same raw violation under tro (s = viol / 1e-3 = 50)
     s_t = s._replace(coll=jnp.array([50.0, 0.0]))
     assert float(ot.slack_cost(s_t)) > 1e4 * float(oa.slack_cost(s))
+
+
+def test_v_signed_alignment_wrap():
+    """The signed-speed extraction must be robust to float wobble on either
+    side of theta == heading (jnp.mod(x, 2pi) maps -eps to 2pi - eps)."""
+    from sicnav_tpu.env import crowd_sim
+    from sicnav_tpu.env.types import EnvConfig
+    from sicnav_tpu.mpc import campc
+    from sicnav_tpu.mpc.ocp import MPCConfig, OCP
+
+    env_cfg = EnvConfig(scenario="circle_crossing", human_policy="orca",
+                        human_num=2, max_humans=2,
+                        robot_kinematics="unicycle")
+    state = crowd_sim.reset_device(jax.random.PRNGKey(0), env_cfg)
+    ocp = OCP(MPCConfig(num_hums=2))
+    for eps in (0.0, 1e-7, -1e-7):
+        th = 0.8 + eps
+        st = state._replace(
+            r_theta=jnp.float32(th),
+            r_vel=0.5 * jnp.array([np.cos(0.8), np.sin(0.8)], jnp.float32))
+        params = campc.build_params(ocp, st, env_cfg)
+        assert float(params.x0_rob[3]) > 0.49, eps   # forward, not reversed
+    # genuinely reversing: velocity opposite heading
+    st = state._replace(
+        r_theta=jnp.float32(0.8),
+        r_vel=-0.5 * jnp.array([np.cos(0.8), np.sin(0.8)], jnp.float32))
+    params = campc.build_params(ocp, st, env_cfg)
+    assert float(params.x0_rob[3]) < -0.49
