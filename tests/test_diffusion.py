@@ -187,3 +187,61 @@ def test_render_episode(tmp_path):
     out = render_episode(traj, cfg, str(tmp_path / "ep.gif"))
     import os
     assert os.path.exists(out) and os.path.getsize(out) > 0
+
+
+def test_eval_scene_full_metric_set():
+    """eval_scene_full returns the reference's full metric sweep with
+    finite values and monotone horizon fractions on an easy CV scene."""
+    import numpy as np
+    from sicnav_tpu.diffusion import data as D
+    from sicnav_tpu.diffusion.models import ModelConfig
+    from sicnav_tpu.diffusion.mid import JMIDModel, eval_scene_full
+
+    rng = np.random.default_rng(0)
+    A, T = 3, 30
+    pos = (rng.uniform(-2, 2, (A, 1, 2)) +
+           rng.uniform(-1, 1, (A, 1, 2)) * np.arange(T)[None, :, None] * 0.25)
+    ex = D.build_examples(pos, np.ones((A, T), bool), 0.25,
+                          history_len=6, horizon=8, stride=30)[0]
+    model = JMIDModel(ModelConfig(context_dim=32, enc_rnn_dim=16, tf_layer=1),
+                      joint=True)
+    key = jax.random.PRNGKey(0)
+    batch = jax.tree.map(jnp.asarray, ex)
+    params = model.init({"params": key, "dropout": key}, batch, key)
+    m = eval_scene_full(model, params, batch, key, n_samples=6)
+    want = {"ade", "fde", "sade", "sfde", "ml_ade", "ml_fde", "kde_nll",
+            "ade_one_fourth", "ade_two_fourth", "ade_three_fourth"}
+    assert set(m) == want
+    for k, v in m.items():
+        assert np.isfinite(float(v)), k
+    # truncated-horizon ADE grows with the fraction (untrained model still
+    # accumulates displacement error over time)
+    assert float(m["ade_one_fourth"]) <= float(m["ade_two_fourth"]) + 1e-6
+    assert float(m["ade_two_fourth"]) <= float(m["ade_three_fourth"]) + 1e-6
+
+
+def test_partial_future_masking_no_agent_drop():
+    """Agents with partially observed futures stay in the eval with
+    per-step masks (the reference's NaN-masked metrics) instead of being
+    dropped by fut_mask.all()."""
+    import numpy as np
+    from sicnav_tpu.diffusion import evaluation as EV
+
+    S, T = 4, 8
+    rng = np.random.default_rng(1)
+    gt = jnp.asarray(rng.normal(size=(T, 2)), jnp.float32)
+    pred = jnp.broadcast_to(gt[None], (S, T, 2)) + 0.1
+    # only the first 3 future steps observed
+    mask = jnp.array([True] * 3 + [False] * 5)
+    a = EV.ade(pred, gt, mask)
+    np.testing.assert_allclose(np.asarray(a), np.sqrt(2) * 0.1, rtol=1e-4)
+    f = EV.fde(pred, gt, mask)
+    # FDE at the LAST OBSERVED step, not the padded end
+    np.testing.assert_allclose(np.asarray(f), np.sqrt(2) * 0.1, rtol=1e-4)
+
+    # scene metrics with per-step masks
+    gt2 = jnp.stack([gt, gt])
+    pred2 = jnp.stack([pred, pred], axis=1)
+    sm = jnp.stack([jnp.ones(T, bool), mask])
+    sade, sfde = EV.scene_ade_fde(pred2, gt2, jnp.array([True, True]), sm)
+    np.testing.assert_allclose(float(sade), np.sqrt(2) * 0.1, rtol=1e-4)
