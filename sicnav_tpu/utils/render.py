@@ -12,24 +12,36 @@ import numpy as np
 
 def render_episode(traj, cfg, output_file: Optional[str] = None,
                    plans: Optional[np.ndarray] = None,
-                   forecasts: Optional[np.ndarray] = None, fps: int = 4):
+                   forecasts: Optional[np.ndarray] = None, fps: int = 4,
+                   robocentric: bool = False):
     """traj: stacked SimState with leading time axis (from rollout_episode).
 
     plans: optional (T, K+1, 2) robot MPC plan per step.
     forecasts: optional (T, H, k, F, 2) human forecast samples per step.
+    robocentric: render in the robot's heading frame (the reference's
+    robocentric video mode, crowd_sim_plus.py:1179,1462 via
+    robot_plus.get_robocentric_state) — robot pinned at the origin facing
+    +x, world/goals/walls moving around it.
     """
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
     from matplotlib import animation, patches
 
+    if robocentric:
+        import jax
+        from sicnav_tpu.env.occlusion import robocentric_state
+        traj = jax.vmap(robocentric_state)(traj)
+
     r_pos = np.asarray(traj.r_pos)
     r_rad = float(np.asarray(traj.r_radius)[0])
-    r_goal = np.asarray(traj.r_goal)[0]
+    r_goal_t = np.asarray(traj.r_goal)
+    r_goal = r_goal_t[0]
     h_pos = np.asarray(traj.h_pos)
     h_rad = np.asarray(traj.h_radius)[0]
     h_mask = np.asarray(traj.h_mask)[0]
-    walls = np.asarray(traj.walls)[0]
+    walls_t = np.asarray(traj.walls)
+    walls = walls_t[0]
     wall_mask = np.asarray(traj.wall_mask)[0]
     T = r_pos.shape[0]
     H = h_pos.shape[1]
@@ -40,10 +52,12 @@ def render_episode(traj, cfg, output_file: Optional[str] = None,
     ax.set_ylim(-lim, lim)
     ax.set_aspect("equal")
 
+    wall_lines = []
     for w in range(walls.shape[0]):
         if wall_mask[w]:
-            ax.plot(walls[w, :, 0], walls[w, :, 1], "k-", lw=2)
-    ax.plot(*r_goal, "r*", markersize=14)
+            ln, = ax.plot(walls[w, :, 0], walls[w, :, 1], "k-", lw=2)
+            wall_lines.append((w, ln))
+    goal_marker, = ax.plot(*r_goal, "r*", markersize=14)
 
     robot_c = patches.Circle(r_pos[0], r_rad, fc="gold", ec="k", zorder=3)
     ax.add_patch(robot_c)
@@ -60,6 +74,10 @@ def render_episode(traj, cfg, output_file: Optional[str] = None,
 
     def update(t):
         robot_c.center = r_pos[t]
+        if robocentric:
+            for w, ln in wall_lines:
+                ln.set_data(walls_t[t, w, :, 0], walls_t[t, w, :, 1])
+            goal_marker.set_data([r_goal_t[t, 0]], [r_goal_t[t, 1]])
         for i in range(H):
             human_cs[i].center = h_pos[t, i]
         if plans is not None:
