@@ -36,7 +36,8 @@ def main():
     p.add_argument("--ipm_iters", type=int, default=30)
     p.add_argument("--goal_dynamics", action="store_true")
     p.add_argument("--no_close_to_preds", action="store_true")
-    p.add_argument("--ral", action="store_true")
+    p.add_argument("--ral", action=argparse.BooleanOptionalAction,
+                   default=True)
     args = p.parse_args()
 
     from sicnav_tpu.env.types import EnvConfig

@@ -34,10 +34,12 @@ def main():
                         "(measured-best default is static weighted goals)")
     p.add_argument("--no_close_to_preds", action="store_true",
                    help="ablation: drop the sample-spread constraint")
-    p.add_argument("--ral", action="store_true",
-                   help="full RA-L robot config: 8-state sin/cos+accel "
-                        "model + capsule collision + momentum warmstart "
-                        "(mpc_env_new.py:620-660,971)")
+    p.add_argument("--ral", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="full RA-L robot config (default): 8-state "
+                        "sin/cos+accel model + capsule collision + Acados "
+                        "slack penalties (mpc_env_new.py:620-660,971); "
+                        "--no-ral selects the T-RO 4-state circle model")
     p.add_argument("--num_cases", type=int, default=500)
     p.add_argument("--num_humans", type=int, default=3)
     p.add_argument("--scenario", default="circle_crossing")

@@ -14,8 +14,9 @@ sample-weight dynamics (mpc_env_new.get_ORCA_human_dynamics_eqn:380-520,
 ``goal_dynamics=True``); the hums-close-to-preds soft constraint
 (:1454-1528) bounds the embedded ORCA solutions to the sample cloud. The
 full RA-L robot configuration — 8-state sin/cos+accel model, capsule
-collision, Acados slack penalties, momentum warmstart — is available via
-``ral=True`` (mpc_env_new.py:620-660, 971).
+collision, Acados slack penalties (mpc_env_new.py:620-660, 971) — is the
+DEFAULT, matching the reference's exercised configuration and the
+measured best (``ral=False`` selects the T-RO 4-state circle model).
 """
 
 from __future__ import annotations
@@ -103,7 +104,7 @@ def make_policy(env_cfg: EnvConfig, model: JMIDModel, mid_params,
                 mpc_cfg=None, fcfg: FC.ForecasterConfig = None,
                 settings: ipm.IPMSettings = None,
                 goal_dynamics: bool = False, close_to_preds: bool = True,
-                ral: bool = False):
+                ral: bool = True):
     """Build (ocp, policy_fn): policy_fn(state, carry) -> (action, carry).
 
     ``goal_dynamics``: evolve human goals through the horizon via the
@@ -112,10 +113,14 @@ def make_policy(env_cfg: EnvConfig, model: JMIDModel, mid_params,
     (A/B grid in BENCH_EXTRA.md: static goals + close-to-preds + top-10
     of 48 samples beats both the stateful mode and plain SICNav-p at the
     bottleneck). ``close_to_preds``: the sample-spread soft constraint
-    (mpc_env_new.py:1454-1528). ``ral``:
+    (mpc_env_new.py:1454-1528). ``ral`` (default True — the reference's
+    exercised configuration AND the measured best: 72% vs 64% success /
+    10% vs 35% collision-episodes on the 100-case bottleneck suite):
     the full RA-L robot configuration — 8-state sin/cos+accel model
-    (mpc_env_new.py:620-660) + capsule collision (:971) + the
-    momentum-blended warmstart pref-vel (orca_casadi_new.py:729-775)."""
+    (mpc_env_new.py:620-660) + capsule collision (:971) + Acados L1/L2
+    slack penalties; the momentum-blended warmstart pref-vel
+    (orca_casadi_new.py:729-775) stays opt-in via
+    MPCConfig.momentum_warmstart."""
     from sicnav_tpu.mpc.ocp import MPCConfig
     if fcfg is None:
         # measured-best sampling budget (BENCH_EXTRA round-2 A/B):
