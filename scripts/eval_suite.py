@@ -49,7 +49,24 @@ def main():
     p.add_argument("--ipm_iters", type=int, default=30)
     p.add_argument("--ref_type", default="point_stab",
                    choices=["point_stab", "goal_tile"])
+    # round-3 safety knobs (collision_taxonomy-guided hardening)
+    p.add_argument("--stage_margin", type=float, default=0.0,
+                   help="per-stage human-collision margin growth (m/stage)")
+    p.add_argument("--wall_margin", type=float, default=0.0,
+                   help="flat extra wall clearance (m)")
+    p.add_argument("--brake_on_unreal_guess", action="store_true",
+                   help="cascade tightening: e-brake when the adopted "
+                        "guess's exact rollout predicts a collision")
+    p.add_argument("--allow_random_params", action="store_true",
+                   help="evaluate a learned policy WITHOUT a checkpoint "
+                        "(randomly initialized params — ablation only)")
     args = p.parse_args()
+
+    if (args.policy in ("sarl", "rgl", "sicnav_diffusion")
+            and not args.checkpoint and not args.allow_random_params):
+        p.error(f"--policy {args.policy} requires --checkpoint (pass "
+                "--allow_random_params to knowingly evaluate random "
+                "weights); refusing to silently benchmark garbage")
 
     from sicnav_tpu.env.types import EnvConfig
     from sicnav_tpu import harness
@@ -133,7 +150,12 @@ def main():
             dt=env_cfg.dt,
             hum_model="cvmm" if args.policy == "campc_cvmm" else "orca_casadi_kkt",
             priviledged_info=args.privileged, ref_type=args.ref_type,
-            robot_nx=8 if args.ral else 4, robot_capsule=args.ral)
+            # mirror SD.make_policy's ral switch exactly: the RA-L config
+            # is 8-state + capsule + Acados slacks + term_q 75, not a
+            # hybrid with T-RO penalties (ADVICE r2)
+            robot_nx=8 if args.ral else 4, robot_capsule=args.ral,
+            term_q_coeff=75.0 if args.ral else 100.0,
+            slack_mode="acados" if args.ral else "tro")
         from sicnav_tpu.mpc import ipm
         ocp, policy = C.make_policy(env_cfg, mpc_cfg,
                                     settings=ipm.IPMSettings(n_iter=args.ipm_iters))
@@ -146,6 +168,9 @@ def main():
             None, env_cfg, args.num_cases, args.phase, args.batch,
             stateful_policy=(lambda: C.init_carry(ocp), policy))
 
+    if (args.policy in ("sarl", "rgl", "sicnav_diffusion")
+            and not args.checkpoint):
+        res["WARNING"] = "RANDOM PARAMS — no --checkpoint was given"
     print(json.dumps(res, indent=2))
 
 

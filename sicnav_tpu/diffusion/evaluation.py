@@ -61,17 +61,37 @@ def kde_nll(pred, gt):
     return -jnp.mean(ll)
 
 
-def most_likely_ade_fde(pred, gt, joint: bool = True):
+def most_likely_ade_fde(pred, gt, agent_mask=None, step_mask=None,
+                        joint: bool = True):
     """Most-likely-sample ADE/FDE (mid.py:202-235 "most likely" variant):
     rank samples by KDE likelihood and score the top one.
 
-    pred: (S, A, T, 2); gt: (A, T, 2). Returns (ade, fde) averaged over
-    agents."""
+    pred: (S, A, T, 2); gt: (A, T, 2); agent_mask (A,): padded/invalid
+    agents are excluded from both the joint-KDE sample ranking and the
+    reported means; step_mask (A, T): per-step future observation masks.
+    Returns (ade, fde) averaged over valid agents."""
     from sicnav_tpu.diffusion.kde import most_likely_samples
-    top, _ = most_likely_samples(pred, 1, joint=joint)     # (A, 1, T, 2)
-    best = top[:, 0]
+    A, T = gt.shape[0], gt.shape[1]
+    if agent_mask is None:
+        agent_mask = jnp.ones((A,), bool)
+    # Zeroing an invalid agent's coordinates makes it rank-neutral in the
+    # joint KDE: its dims have zero sample variance, so after the 1e-6
+    # covariance regularization they whiten to a constant that cancels in
+    # the per-group logsumexp normalization.
+    am = agent_mask[None, :, None, None]
+    top, _ = most_likely_samples(jnp.where(am, pred, 0.0), 1, joint=joint)
+    best = top[:, 0]                                       # (A, T, 2)
     err = jnp.linalg.norm(best - gt, axis=-1)              # (A, T)
-    return jnp.mean(err), jnp.mean(err[:, -1])
+    if step_mask is None:
+        step_mask = jnp.ones((A, T), bool)
+    sm = step_mask.astype(err.dtype)
+    cnt = jnp.maximum(jnp.sum(sm, axis=-1), 1.0)
+    per_ade = jnp.sum(err * sm, axis=-1) / cnt             # (A,)
+    last = jnp.maximum(jnp.sum(step_mask.astype(jnp.int32), -1) - 1, 0)
+    per_fde = jnp.take_along_axis(err, last[:, None], axis=-1)[:, 0]
+    w = agent_mask.astype(err.dtype)
+    wsum = jnp.maximum(jnp.sum(w), 1.0)
+    return jnp.sum(per_ade * w) / wsum, jnp.sum(per_fde * w) / wsum
 
 
 def horizon_fraction_ade(pred, gt, mask=None, fractions=(0.25, 0.5, 0.75)):

@@ -197,7 +197,8 @@ def eval_scene_full(model: JMIDModel, params, batch: SceneBatch, key,
     a_min, f_min, fr1, fr2, fr3, nll = jax.vmap(per_agent)(
         jnp.arange(gt.shape[0]))
     sade, sfde = EV.scene_ade_fde(pred, gt, amask, batch.fut_mask)
-    ml_ade, ml_fde = EV.most_likely_ade_fde(pred, gt)
+    ml_ade, ml_fde = EV.most_likely_ade_fde(pred, gt, agent_mask=amask,
+                                            step_mask=batch.fut_mask)
     avg = lambda x: jnp.sum(x * w) / wsum
     return {
         "ade": avg(a_min), "fde": avg(f_min),

@@ -96,7 +96,9 @@ def occlusion_mask(h_pos_rc, h_radius, h_mask, n_bins: int = 720):
         occ_i = occupied[i]
         own = jnp.maximum(jnp.sum(occ_i), 1)
         free = jnp.sum(occ_i & ~occluded_bins)
-        visible = (free / own) >= VISIBLE_THRESHOLD
+        # a human so distant its arc rasterizes to zero bins is visible
+        # (the reference's interval clipping never hides an empty interval)
+        visible = (jnp.sum(occ_i) == 0) | ((free / own) >= VISIBLE_THRESHOLD)
         return occluded_bins | occ_i, visible
 
     _, vis_sorted = jax.lax.scan(body, jnp.zeros(n_bins, bool), order)

@@ -36,9 +36,17 @@ def evaluate_policy(policy_fn: Callable, cfg: EnvConfig, num_cases: int = 500,
 
     for start in range(0, num_cases, batch):
         cases = list(range(start, min(start + batch, num_cases)))
+        n_valid = len(cases)
+        # pad the case batch up to a multiple of the mesh size so every
+        # batch shards (50 % 8 != 0 previously made the mesh a silent
+        # no-op on the standard 500-case suite); pad episodes replay the
+        # last case and are sliced out of the stats below.
+        if mesh is not None:
+            pad = (-n_valid) % mesh.devices.size
+            cases = cases + [cases[-1]] * pad
         states = [crowd_sim.reset_host(cfg, c, phase) for c in cases]
         batch_states = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
-        if mesh is not None and len(cases) % mesh.devices.size == 0:
+        if mesh is not None:
             from sicnav_tpu.parallel.mesh import shard_batch
             batch_states = shard_batch(batch_states, mesh)
         if stateful_policy is None:
@@ -49,12 +57,13 @@ def evaluate_policy(policy_fn: Callable, cfg: EnvConfig, num_cases: int = 500,
             carries = jax.tree.map(
                 lambda *xs: jnp.stack(xs),
                 *[init_carry_fn() for _ in cases])
-            if mesh is not None and len(cases) % mesh.devices.size == 0:
+            if mesh is not None:
                 from sicnav_tpu.parallel.mesh import shard_batch
                 carries = shard_batch(carries, mesh)
             _, stats = rollout.batch_rollout_stateful(
                 batch_states, carries, step_fn, cfg, max_steps)
-        all_stats.append(jax.tree.map(np.asarray, stats))
+        all_stats.append(jax.tree.map(
+            lambda x: np.atleast_1d(np.asarray(x))[:n_valid], stats))
 
     stats = jax.tree.map(lambda *xs: np.concatenate([np.atleast_1d(x) for x in xs]),
                          *all_stats)
