@@ -47,6 +47,8 @@ def main():
     p.add_argument("--batch", type=int, default=50)
     p.add_argument("--privileged", action="store_true")
     p.add_argument("--ipm_iters", type=int, default=30)
+    p.add_argument("--soc", action="store_true",
+                   help="IPM second-order correction steps")
     p.add_argument("--ref_type", default="point_stab",
                    choices=["point_stab", "goal_tile"])
     # round-3 safety knobs (collision_taxonomy-guided hardening)
@@ -130,9 +132,13 @@ def main():
             params = load_checkpoint(os.path.abspath(args.checkpoint), params)
         ocp, policy = SD.make_policy(
             env_cfg, model, params, fcfg=fcfg,
-            settings=ipm.IPMSettings(n_iter=args.ipm_iters),
+            settings=ipm.IPMSettings(n_iter=args.ipm_iters, soc=args.soc),
             goal_dynamics=args.goal_dynamics,
-            close_to_preds=not args.no_close_to_preds, ral=args.ral)
+            close_to_preds=not args.no_close_to_preds, ral=args.ral,
+            mpc_overrides={
+                "stage_margin": args.stage_margin,
+                "wall_margin": args.wall_margin,
+                "brake_on_unreal_guess": args.brake_on_unreal_guess})
         if args.noise_std > 0:
             from sicnav_tpu.utils.robustness import (NoiseConfig,
                                                      noisy_policy_stateful)
@@ -155,10 +161,12 @@ def main():
             # hybrid with T-RO penalties (ADVICE r2)
             robot_nx=8 if args.ral else 4, robot_capsule=args.ral,
             term_q_coeff=75.0 if args.ral else 100.0,
-            slack_mode="acados" if args.ral else "tro")
+            slack_mode="acados" if args.ral else "tro",
+            stage_margin=args.stage_margin, wall_margin=args.wall_margin,
+            brake_on_unreal_guess=args.brake_on_unreal_guess)
         from sicnav_tpu.mpc import ipm
         ocp, policy = C.make_policy(env_cfg, mpc_cfg,
-                                    settings=ipm.IPMSettings(n_iter=args.ipm_iters))
+                                    settings=ipm.IPMSettings(n_iter=args.ipm_iters, soc=args.soc))
         if args.noise_std > 0:
             from sicnav_tpu.utils.robustness import (NoiseConfig,
                                                      noisy_policy_stateful)

@@ -92,7 +92,7 @@ def main():
                     if args.ipm_iters else ipm.realtime_settings(cfg.max_humans))
         ocp, policy = C.make_policy(cfg, mpc_cfg, settings=settings)
         carry = C.init_carry(ocp)
-        if args.debug_pickle:
+        if args.debug_pickle or args.video:
             policy = lambda s, c: C.campc_action(ocp, s, c, cfg, settings,
                                                  debug=True)
     elif args.policy == "dwa":
@@ -120,7 +120,7 @@ def main():
         ocp, policy = SD.make_policy(cfg, model, params, fcfg=fcfg,
                                      settings=settings)
         carry = SD.init_carry(ocp, cfg.max_humans, fcfg, seed=args.test_case)
-        if args.debug_pickle:
+        if args.debug_pickle or args.video:
             policy = lambda s, c: SD.sicnav_diffusion_action(
                 ocp, model, params, s, c, cfg, fcfg, settings, debug=True)
 
@@ -128,13 +128,28 @@ def main():
     log = []
     states = [state]
     debug_steps = []
+    overlays = dict(plans=[], guesses=[], hplans=[], fc=[], fw=[])
+    is_mpc = args.policy in ("campc", "campc_cvmm", "sicnav_diffusion")
+    want_overlays = bool(args.video) and is_mpc
     t0 = time.time()
     for step_i in range(max_steps):
-        if args.debug_pickle and args.policy in ("campc", "campc_cvmm",
-                                                 "sicnav_diffusion"):
+        if want_overlays and args.policy == "sicnav_diffusion":
+            # reproduce the step's forecast for the fan overlay (same key
+            # split as inside the fused action)
+            _, k_fc = jax.random.split(carry.key)
+            fst = FC.update_state_hists(carry.forecaster, state, fcfg)
+            fc, lw = FC.predict_ret_best(model, params, fst, state, k_fc,
+                                         fcfg)
+            overlays["fc"].append(np.asarray(fc))
+            overlays["fw"].append(np.asarray(lw))
+        if (args.debug_pickle or want_overlays) and is_mpc:
             from sicnav_tpu.mpc import introspection as IN
             action, carry, dbg = policy(state, carry)
             dbg_np = jax.tree.map(np.asarray, dbg)
+            if want_overlays:
+                overlays["plans"].append(dbg_np.plan)
+                overlays["guesses"].append(dbg_np.guess_plan)
+                overlays["hplans"].append(dbg_np.human_plans)
             name, val, flat = IN.argmax_violated(dbg_np.viol_used)
             debug_steps.append(dict(
                 step=step_i,
@@ -200,7 +215,18 @@ def main():
     if args.video:
         from sicnav_tpu.utils.render import render_episode
         traj = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
-        render_episode(traj, cfg, args.video)
+        ov = {}
+        n = len(states)
+        pad_t = lambda xs: np.stack(xs + [xs[-1]] * (n - len(xs))) \
+            if xs else None
+        if overlays["plans"]:
+            ov = dict(plans=pad_t(overlays["plans"]),
+                      guesses=pad_t(overlays["guesses"]),
+                      human_plans=pad_t(overlays["hplans"]))
+        if overlays["fc"]:
+            ov["forecasts"] = pad_t(overlays["fc"])
+            ov["forecast_weights"] = pad_t(overlays["fw"])
+        render_episode(traj, cfg, args.video, **ov)
         print("wrote", args.video)
 
 

@@ -48,6 +48,15 @@ def main():
     p.add_argument("--dataset", default="sim")
     p.add_argument("--data_files", nargs="*", default=[],
                    help="ETH/UCY-format txt files (overrides sim generation)")
+    p.add_argument("--val_data_files", nargs="*", default=[],
+                   help="held-out files for validation (otherwise a 10% "
+                        "split of --data_files)")
+    p.add_argument("--max_val_batches", type=int, default=0,
+                   help="cap validation batches per epoch (0 = all); the "
+                        "full-budget runs cap this so per-epoch DDIM "
+                        "sampling stays a bounded fraction of train time")
+    p.add_argument("--log_dir", default=None,
+                   help="JSONL + optional TB training curves")
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--val_full", action="store_true",
                    help="full metric sweep on the val split after training")
@@ -74,16 +83,23 @@ def main():
     hist_len = recipe.history_len if recipe else 6
     horizon = recipe.horizon if recipe else 8
     dt = recipe.dt if recipe else 0.4
-    if args.data_files:
-        examples = []
-        for f in args.data_files:
+
+    def load_files(files):
+        out = []
+        for f in files:
             if f.endswith(".txt"):
                 pos, valid = D.load_ethucy_txt(f)
             else:
                 pos, valid = D.load_trajectory_file(f, dt=dt)
-            examples += D.build_examples(pos, valid, dt,
-                                         history_len=hist_len,
-                                         horizon=horizon, max_agents=16)
+            out += D.build_examples(pos, valid, dt, history_len=hist_len,
+                                    horizon=horizon, max_agents=16)
+        return out
+
+    val_examples = None
+    if args.data_files:
+        examples = load_files(args.data_files)
+        if args.val_data_files:
+            val_examples = load_files(args.val_data_files)
     else:
         env_cfg = EnvConfig(
             scenario=args.scenario,
@@ -95,8 +111,12 @@ def main():
 
     rng = np.random.default_rng(args.seed)
     rng.shuffle(examples)
-    n_val = max(len(examples) // 10, 1)
-    val, train = examples[:n_val], examples[n_val:]
+    if val_examples is not None:
+        rng.shuffle(val_examples)
+        val, train = val_examples, examples
+    else:
+        n_val = max(len(examples) // 10, 1)
+        val, train = examples[:n_val], examples[n_val:]
 
     def batches(ex):
         out = []
@@ -118,8 +138,24 @@ def main():
         tc = TrainConfig(joint=args.method == "mid_jp", lr=args.lr,
                          epochs=args.epochs or 90,
                          batch_size=args.batch_size, seed=args.seed)
-    params, history = fit(model, batches(train), batches(val), tc,
-                          checkpoint_dir=os.path.abspath(args.out))
+    import time
+    val_batches = batches(val)
+    if args.max_val_batches:
+        val_batches = val_batches[:args.max_val_batches]
+    train_batches = batches(train)
+    print(json.dumps({"train_examples": len(train), "val_examples": len(val),
+                      "train_batches": len(train_batches),
+                      "val_batches": len(val_batches),
+                      "epochs": tc.epochs}), file=sys.stderr)
+    t0 = time.perf_counter()
+    params, history = fit(model, train_batches, val_batches, tc,
+                          checkpoint_dir=os.path.abspath(args.out),
+                          log_dir=args.log_dir)
+    wall = time.perf_counter() - t0
+    print(json.dumps({"wall_clock_s": wall,
+                      "epochs_run": len(history),
+                      "early_stopped": len(history) < tc.epochs,
+                      "best_val_ade": min(h["val_ade"] for h in history)}))
     print(json.dumps(history[-3:], indent=2))
     if args.val_full:
         # full metric sweep on the val scenes (eval_not_sicnav parity)

@@ -38,27 +38,32 @@ def min_ade_fde(pred, gt, mask=None):
 
 def kde_nll(pred, gt):
     """Per-timestep Gaussian-KDE negative log likelihood of the ground truth
-    under the sample distribution (compute_kde_nll:191), averaged over T.
+    under the sample distribution (compute_kde_nll:191-233), averaged over
+    T. Exact parity with the reference's scipy.gaussian_kde path: Scott's
+    factor n^(-1/(d+4)), unregularized sample covariance, per-timestep
+    logpdf clipped at -20 BEFORE averaging, and NaN when any timestep's
+    covariance is singular (scipy raises LinAlgError -> reference sets
+    kde_ll = nan).
 
     pred: (S, T, 2); gt: (T, 2)."""
     S, T, _ = pred.shape
     preds = jnp.transpose(pred, (1, 0, 2))                    # (T, S, 2)
-    # KDE with Scott's-rule-ish fixed bandwidth as in the reference's
-    # scipy.gaussian_kde default: bw = n^(-1/(d+4))
-    bw = S ** (-1.0 / 6.0)
-    # evaluate loglik of gt under KDE of samples per timestep
+    bw = S ** (-1.0 / 6.0)                                    # Scott, d=2
     mean = jnp.mean(preds, axis=1, keepdims=True)
     diff = preds - mean
     cov = jnp.einsum("tsd,tse->tde", diff, diff) / (S - 1)
-    cov = bw ** 2 * cov + jnp.eye(2) * 1e-9
-    cov_inv = jnp.linalg.inv(cov)
-    logdet = jnp.linalg.slogdet(cov)[1]
+    cov = bw ** 2 * cov
+    det = cov[:, 0, 0] * cov[:, 1, 1] - cov[:, 0, 1] * cov[:, 1, 0]
+    singular = jnp.any(det <= 0.0)
+    cov_safe = jnp.where(singular, jnp.eye(2)[None], cov)
+    cov_inv = jnp.linalg.inv(cov_safe)
+    logdet = jnp.linalg.slogdet(cov_safe)[1]
     d = gt[:, None, :] - preds                                # (T, S, 2)
     mahal = jnp.einsum("tsd,tde,tse->ts", d, cov_inv, d)
     log_kernel = -0.5 * mahal - 0.5 * (2 * jnp.log(2 * jnp.pi) + logdet)[:, None]
     ll = jax.scipy.special.logsumexp(log_kernel, axis=1) - jnp.log(S)
-    ll = jnp.clip(ll, -20.0, None)  # reference lower-bounds the pdf
-    return -jnp.mean(ll)
+    ll = jnp.clip(ll, -20.0, None)  # per-timestep pdf lower bound (:225)
+    return jnp.where(singular, jnp.nan, -jnp.mean(ll))
 
 
 def most_likely_ade_fde(pred, gt, agent_mask=None, step_mask=None,

@@ -133,3 +133,64 @@ def batch_rollout_stateful(states: SimState, carries, step_fn: Callable,
     cost across episodes (12 ms/solve at B=16 vs 66 ms single on v5e)."""
     return jax.vmap(lambda s, c: rollout_episode_stateful(
         s, c, step_fn, cfg, max_steps))(states, carries)
+
+
+class StepTrace(NamedTuple):
+    """Per-step episode trace for the safety taxonomy audit: env events +
+    the policy's per-step aux telemetry (e.g. campc.CAMPCAux)."""
+    live: jnp.ndarray
+    collision: jnp.ndarray
+    wall_collision: jnp.ndarray
+    frozen: jnp.ndarray
+    dmin: jnp.ndarray
+    r_pos: jnp.ndarray          # (2,)
+    action: jnp.ndarray         # (2,)
+    aux: object                 # policy aux pytree
+
+
+@functools.partial(jax.jit, static_argnames=("step_fn", "cfg", "max_steps"))
+def rollout_episode_traced(state: SimState, carry0, step_fn: Callable,
+                           cfg: EnvConfig, max_steps: int):
+    """Stateful rollout that also stacks a per-step StepTrace.
+    ``step_fn(state, carry) -> (action, carry, aux)``. Returns
+    (final_state, EpisodeStats, StepTrace stacked over time)."""
+
+    def body(c, _):
+        state, pcarry, stats = c
+        action, pcarry, aux = step_fn(state, pcarry)
+        new_state, reward, info = crowd_sim.step_masked(state, action, cfg)
+        live = ~state.done
+        stats = EpisodeStats(
+            success=stats.success | (live & info.reach_goal),
+            timeout=stats.timeout | (live & info.timeout),
+            nav_time=jnp.where(live & info.done, new_state.t, stats.nav_time),
+            collision_steps=stats.collision_steps + (live & info.collision),
+            wall_collision_steps=stats.wall_collision_steps +
+            (live & info.wall_collision),
+            frozen_steps=stats.frozen_steps + (live & info.frozen),
+            frozen_near_goal_steps=stats.frozen_near_goal_steps +
+            (live & info.frozen &
+             (jnp.linalg.norm(state.r_pos - state.r_goal) < 1.0)),
+            danger_steps=stats.danger_steps + (live & info.danger),
+            min_dist=jnp.minimum(stats.min_dist,
+                                 jnp.where(live, info.dmin, jnp.inf)),
+            total_reward=stats.total_reward + reward,
+            steps=stats.steps + live)
+        tr = StepTrace(live=live, collision=live & info.collision,
+                       wall_collision=live & info.wall_collision,
+                       frozen=live & info.frozen, dmin=info.dmin,
+                       r_pos=state.r_pos, action=action, aux=aux)
+        return (new_state, pcarry, stats), tr
+
+    init_stats = EpisodeStats(
+        success=jnp.array(False), timeout=jnp.array(False),
+        nav_time=jnp.float32(cfg.time_limit),
+        collision_steps=jnp.int32(0), wall_collision_steps=jnp.int32(0),
+        frozen_steps=jnp.int32(0), frozen_near_goal_steps=jnp.int32(0),
+        danger_steps=jnp.int32(0),
+        min_dist=jnp.float32(jnp.inf), total_reward=jnp.float32(0.0),
+        steps=jnp.int32(0))
+
+    (final_state, _, stats), trace = jax.lax.scan(
+        body, (state, carry0, init_stats), None, length=max_steps)
+    return final_state, stats, trace

@@ -46,6 +46,23 @@ class CAMPCCarry(NamedTuple):
     pred_hums: jnp.ndarray      # (H, 2)
 
 
+class CAMPCAux(NamedTuple):
+    """Per-step solve telemetry for episode-level collision taxonomy
+    (round-3 safety audit): which cascade branch produced the executed
+    action and how safe the adopted plan looked under the EXACT lower-level
+    human model. All scalars — cheap to stack over a rollout scan."""
+    use_guess: jnp.ndarray      # bool — cascade rejected the solver output
+    sol_feasible: jnp.ndarray   # bool
+    sol_realistic: jnp.ndarray  # bool — exact-rollout reality check passed
+    cost_worse: jnp.ndarray     # bool — optimizer worse than warmstart
+    braked: jnp.ndarray         # bool — emergency brake branch taken
+    slack_max: jnp.ndarray      # max slack of the adopted plan
+    exact_margin: jnp.ndarray   # min_k,h (d_exact - comb) of the ADOPTED
+                                # plan under exact human responses
+    ineq_viol: jnp.ndarray
+    eq_viol: jnp.ndarray
+
+
 def init_carry(ocp: OCP) -> CAMPCCarry:
     return CAMPCCarry(z_prev=jnp.zeros((ocp.cfg.n_z,), jnp.float32),
                       has_prev=jnp.array(False),
@@ -218,14 +235,18 @@ def _select_guess(ocp: OCP, carry: CAMPCCarry, params: MPCParams):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("ocp", "env_cfg", "settings", "debug"))
+                   static_argnames=("ocp", "env_cfg", "settings", "debug",
+                                    "aux"))
 def campc_action(ocp: OCP, state: SimState, carry: CAMPCCarry,
                  env_cfg: EnvConfig,
                  settings: ipm.IPMSettings = ipm.IPMSettings(),
-                 mid_samples=None, mid_logw0=None, debug: bool = False):
+                 mid_samples=None, mid_logw0=None, debug: bool = False,
+                 aux: bool = False):
     """One CAMPC control step. Returns (action (2,) = (v, r=om*dt), carry');
     with ``debug=True`` also a ``introspection.SolveDebug`` pytree (the
-    reference's per-solve debug_material, campc.py:861-979)."""
+    reference's per-solve debug_material, campc.py:861-979); with
+    ``aux=True`` instead a light ``CAMPCAux`` scalar pytree for rollout
+    tracing."""
     cfg = ocp.cfg
     params = build_params(ocp, state, env_cfg, mid_samples, mid_logw0)
     z_guess = _select_guess(ocp, carry, params)
@@ -257,8 +278,18 @@ def campc_action(ocp: OCP, state: SimState, carry: CAMPCCarry,
     use_guess = (~sol_feasible) | (~sol_realistic) | (sol_cost > guess_cost)
     z_used = jnp.where(use_guess, z_guess, z_sol)
 
-    # emergency brake if even the guess is broken (:754-786)
+    # emergency brake if even the guess is broken (:754-786); with
+    # cfg.brake_on_unreal_guess, also brake when the adopted guess's own
+    # exact-rollout predicts a collision (cascade tightening — extends the
+    # reference's solution audit, calc_actual_orca_for_x_val:1135-1156,
+    # to the fallback branch)
     guess_ok = jnp.all(jnp.isfinite(z_guess))
+    if cfg.brake_on_unreal_guess:
+        u_rob_g, _, _, _ = ocp.unpack(z_guess)
+        Xr_g, Xh_g = WS.exact_human_rollout(ocp, params, u_rob_g)
+        d_g = jnp.linalg.norm(Xr_g[:, None, :2] - Xh_g[:, :, :2], axis=-1)
+        guess_ok = guess_ok & jnp.all(d_g > params.hum_coll_radii[None, :] +
+                                      params.rob_radius)
     u_rob, _, _, _ = ocp.unpack(z_used)
     v_brake = jnp.maximum(ocp.rob_v_prev(params.x0_rob) + cfg.max_l_dcc * cfg.dt, 0.0)
     action_u = jnp.where(guess_ok | ~use_guess, u_rob[0],
@@ -276,9 +307,27 @@ def campc_action(ocp: OCP, state: SimState, carry: CAMPCCarry,
                                 jnp.int32(0)),
         pred_rob=_rob_pose(ocp, Xr_used[1]),
         pred_hums=Xh_used[1][:, :2])
+    if aux:
+        _, _, _, slacks_used = ocp.unpack(z_used)
+        # exact-rollout margin of the ADOPTED plan (may be the guess)
+        Xr_a, Xh_a = WS.exact_human_rollout(ocp, params, u_rob_used)
+        d_a = jnp.linalg.norm(Xr_a[:, None, :2] - Xh_a[:, :, :2], axis=-1)
+        step_aux = CAMPCAux(
+            use_guess=use_guess,
+            sol_feasible=sol_feasible,
+            sol_realistic=sol_realistic,
+            cost_worse=sol_cost > guess_cost,
+            braked=use_guess & ~guess_ok,
+            slack_max=jnp.max(jnp.concatenate(
+                [jnp.atleast_1d(x) for x in slacks_used])),
+            exact_margin=jnp.min(d_a - comb[None, :]),
+            ineq_viol=info.ineq_viol, eq_viol=info.eq_viol)
+        return action, carry_new, step_aux
     if debug:
         from sicnav_tpu.mpc import introspection as IN
         _, _, _, slacks_used = ocp.unpack(z_used)
+        u_rob_g, u_hums_g, _, _ = ocp.unpack(z_guess)
+        Xr_g, _ = ocp.rollout(params, u_rob_g, u_hums_g)
         dbg = IN.SolveDebug(
             trace=IN.IterTrace(*raw_trace),
             info=info,
@@ -287,7 +336,10 @@ def campc_action(ocp: OCP, state: SimState, carry: CAMPCCarry,
             used_guess=use_guess,
             sol_cost=sol_cost, guess_cost=guess_cost,
             slack_max=jnp.max(jnp.concatenate(
-                [jnp.atleast_1d(x) for x in slacks_used])))
+                [jnp.atleast_1d(x) for x in slacks_used])),
+            plan=Xr_used[:, :2],
+            guess_plan=Xr_g[:, :2],
+            human_plans=jnp.swapaxes(Xh_used[:, :, :2], 0, 1))
         return action, carry_new, dbg
     return action, carry_new
 

@@ -107,6 +107,11 @@ class SolveDebug(NamedTuple):
     sol_cost: jnp.ndarray
     guess_cost: jnp.ndarray
     slack_max: jnp.ndarray                 # max slack value of adopted plan
+    # render overlays (the reference's policy.all_opt_x / guess arrays the
+    # video mode reads, crowd_sim_plus.py:1475-1489)
+    plan: jnp.ndarray                      # (K+1, 2) adopted robot plan
+    guess_plan: jnp.ndarray                # (K+1, 2) warmstart-guess plan
+    human_plans: jnp.ndarray               # (H, K+1, 2) predicted humans
 
 
 @functools.partial(jax.jit, static_argnames=("ocp", "settings"))

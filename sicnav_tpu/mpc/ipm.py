@@ -39,6 +39,13 @@ class IPMSettings:
     delta_min: float = 1e-8
     reg_eq: float = 1e-8        # dual regularization of the eq block
     alphas: tuple = (1.0, 0.5, 0.25, 0.1, 0.03, 0.01, 0.003)
+    # second-order correction (IPOPT 3.2's SOC): when the full Newton step
+    # is curvature-limited, re-solve the SAME factorized KKT system with
+    # the equality residual evaluated at the trial point
+    # (c_soc = alpha c_E(z) + c_E(z + alpha dz)) and offer the corrected
+    # step as an extra line-search candidate. One extra back-substitution
+    # + one constraint evaluation per iteration; no re-factorization.
+    soc: bool = False
     exact_hessian: bool = True
     precondition: bool = True   # diagonal z-space scaling from the initial
                                 # Hessian (tames the 1e6-range slack-penalty
@@ -184,7 +191,8 @@ def solve(f_fn: Callable, ceq_fn: Callable, cineq_fn: Callable,
                 [H_red, J_e.T],
                 [J_e, -st.reg_eq * jnp.eye(m_e, dtype=dtype)]])
             rhs = jnp.concatenate([rhs_z, -c_e])
-            sol = jnp.linalg.solve(M, rhs)
+            lu, piv = jax.scipy.linalg.lu_factor(M)
+            sol = jax.scipy.linalg.lu_solve((lu, piv), rhs)
             dz = sol[:n]
             dy = sol[n:]
         else:
@@ -229,10 +237,55 @@ def solve(f_fn: Callable, ceq_fn: Callable, cineq_fn: Callable,
         improved = merits[best] < merit_now
         alpha = jnp.where(improved, alphas[best], 0.0)
 
-        z_new = z + alpha * a_p * dz
-        s_new = jnp.maximum(s + alpha * a_p * ds, st.s_min)
-        lam_new = jnp.maximum(lam + alpha * a_d * dlam, 1e-12)
-        y_new = y + alpha * a_d * dy if m_e else y
+        step_z = alpha * a_p * dz
+        step_s = alpha * a_p * ds
+        step_lam = alpha * a_d * dlam
+        step_y = alpha * a_d * dy if m_e else dy
+        merit_best = merits[best]
+
+        if st.soc and m_e:
+            # second-order correction: same factorization, equality
+            # residual re-evaluated at the trial point
+            c_e_t = ceq_fn(z + a_p * dz)
+            rhs_soc = jnp.concatenate([rhs_z, -(a_p * c_e + c_e_t)])
+            sol2 = jax.scipy.linalg.lu_solve((lu, piv), rhs_soc)
+            dz2 = sol2[:n]
+            dy2 = sol2[n:]
+            ds2 = -(c_i + s) - J_i @ dz2
+            dlam2 = (mu / jnp.maximum(s, st.s_min) - lam) - D * ds2
+            ok2 = (jnp.all(jnp.isfinite(dz2)) & jnp.all(jnp.isfinite(ds2)) &
+                   jnp.all(jnp.isfinite(dlam2)) & jnp.all(jnp.isfinite(dy2)))
+            dz2 = jnp.where(ok2, dz2, 0.0)
+            ds2 = jnp.where(ok2, ds2, 0.0)
+            dlam2 = jnp.where(ok2, dlam2, 0.0)
+            dy2 = jnp.where(ok2, dy2, 0.0)
+            neg2 = ds2 < 0
+            a_p2 = jnp.clip(jnp.min(jnp.where(
+                neg2, -st.tau * s / jnp.where(neg2, ds2, -1.0), 1.0)),
+                0.0, 1.0)
+            negl2 = dlam2 < 0
+            a_d2 = jnp.clip(jnp.min(jnp.where(
+                negl2, -st.tau * lam / jnp.where(negl2, dlam2, -1.0), 1.0)),
+                0.0, 1.0)
+            z_s = z + a_p2 * dz2
+            s_s = jnp.maximum(s + a_p2 * ds2, st.s_min)
+            merit_soc = _merit(f_fn(z_s), ceq_fn(z_s), cineq_fn(z_s), s_s,
+                               mu, nu)
+            merit_soc = jnp.where(jnp.isfinite(merit_soc) & ok2, merit_soc,
+                                  jnp.inf)
+            use_soc = merit_soc < jnp.minimum(merit_best, merit_now)
+            step_z = jnp.where(use_soc, a_p2 * dz2, step_z)
+            step_s = jnp.where(use_soc, a_p2 * ds2, step_s)
+            step_lam = jnp.where(use_soc, a_d2 * dlam2, step_lam)
+            step_y = jnp.where(use_soc, a_d2 * dy2, step_y)
+            improved = improved | use_soc
+            merit_best = jnp.minimum(merit_best, merit_soc)
+            alpha = jnp.where(use_soc, a_p2, alpha)
+
+        z_new = z + step_z
+        s_new = jnp.maximum(s + step_s, st.s_min)
+        lam_new = jnp.maximum(lam + step_lam, 1e-12)
+        y_new = y + step_y if m_e else y
 
         # LM damping adaptation (a non-finite step counts as a failure)
         delta_new = jnp.where(improved & step_ok,
@@ -240,8 +293,8 @@ def solve(f_fn: Callable, ceq_fn: Callable, cineq_fn: Callable,
                               jnp.minimum(delta * 10.0, st.delta_max))
 
         new_state = IPMState(z_new, y_new, lam_new, s_new, delta_new,
-                             merits[best])
-        trace = (f_val, merits[best], alpha, mu, delta,
+                             merit_best)
+        trace = (f_val, merit_best, alpha, mu, delta,
                  jnp.max(jnp.abs(c_e), initial=0.0),
                  jnp.max(jnp.maximum(c_i, 0.0), initial=0.0))
         return new_state, trace

@@ -104,8 +104,21 @@ class MPCConfig:
     rob_len_buffer: float = 0.01
     rob_wid_buffer: float = 0.01
     # stage-indexed collision-margin growth (extension beyond the reference:
-    # robust-horizon tightening for model-prediction error growth; 0 = off)
+    # robust-horizon tightening for model-prediction error growth; 0 = off).
+    # Applies to both the circle and capsule human-collision rows.
     stage_margin: float = 0.0
+    # flat extra clearance on the robot-wall capsule rows (the wall rows are
+    # slacked, so near boundaries the solver trades slack penalty for
+    # progress — a margin restores clearance without hardening the rows)
+    wall_margin: float = 0.0
+    # cascade tightening (round-3 safety audit): when the cascade adopts
+    # the guess, ALSO reality-check the guess plan against the exact
+    # lower-level human responses and fall through to the emergency brake
+    # if the guess itself is in predicted collision. The reference's
+    # cascade brakes only when no plan is available (campc.py:754-786);
+    # this extends the same exact-rollout audit it applies to solutions
+    # (calc_actual_orca_for_x_val:1135-1156) to adopted guesses.
+    brake_on_unreal_guess: bool = False
     # slack penalty family: "tro" = the Opti penalties (campc.py:280-330,
     # 1e9-scale quadratics on 1e-3-scaled slacks); "acados" = the RA-L
     # exporter's per-row L1/L2 penalties (campc_acados_opt.py:363-374,
@@ -564,7 +577,8 @@ class OCP:
             corr_wid = cfg.rob_wid + cfg.rob_wid_buffer
             half_len = jnp.maximum(
                 0.5 * cfg.rob_len + cfg.rob_len_buffer - 0.5 * corr_wid, 0.0)
-            comb = params.hum_coll_radii[None, :] + 0.5 * corr_wid
+            comb = (params.hum_coll_radii[None, :] + 0.5 * corr_wid +
+                    cfg.stage_margin * jnp.arange(K + 1)[:, None])
             if cfg.robot_nx == 8:
                 heading = jnp.stack([X_rob[:, 3], X_rob[:, 2]], -1)
             else:
@@ -591,7 +605,7 @@ class OCP:
         rob_r = params.rob_radius
         stat_buf = jnp.where(cfg.max_speed * cfg.dt >= rob_r,
                              cfg.max_speed * cfg.dt - rob_r + 0.01, 0.05)
-        comb_rad = rob_r + stat_buf
+        comb_rad = rob_r + stat_buf + cfg.wall_margin
 
         def wall_rows(wall, wmask):
             p1, p2 = wall[0], wall[1]

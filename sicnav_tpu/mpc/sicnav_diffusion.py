@@ -59,12 +59,13 @@ def weighted_goals(forecasts, log_weights, step: int = 1):
 
 
 @functools.partial(jax.jit, static_argnames=("ocp", "env_cfg", "model",
-                                             "fcfg", "settings", "debug"))
+                                             "fcfg", "settings", "debug",
+                                             "aux"))
 def sicnav_diffusion_action(ocp: OCP, model: JMIDModel, mid_params,
                             state: SimState, carry: SICNavDiffCarry,
                             env_cfg: EnvConfig, fcfg: FC.ForecasterConfig,
                             settings: ipm.IPMSettings = ipm.IPMSettings(),
-                            debug: bool = False):
+                            debug: bool = False, aux: bool = False):
     """One SICNav-Diffusion control step. Returns (action (v, r), carry');
     with ``debug=True`` also the ``introspection.SolveDebug`` pytree (the
     named-violation / iteration-table introspection the reference surfaces
@@ -88,6 +89,12 @@ def sicnav_diffusion_action(ocp: OCP, model: JMIDModel, mid_params,
 
     # feed the MPC a state whose human goals come from the forecaster
     mpc_view = state._replace(h_goal=goals)
+    if aux:
+        action, mpc_carry, step_aux = C.campc_action(
+            ocp, mpc_view, carry.mpc, env_cfg, settings,
+            mid_samples=mid_samples, mid_logw0=mid_logw0, aux=True)
+        return action, SICNavDiffCarry(mpc=mpc_carry, forecaster=fstate,
+                                       key=key), step_aux
     if debug:
         action, mpc_carry, dbg = C.campc_action(
             ocp, mpc_view, carry.mpc, env_cfg, settings,
@@ -104,7 +111,7 @@ def make_policy(env_cfg: EnvConfig, model: JMIDModel, mid_params,
                 mpc_cfg=None, fcfg: FC.ForecasterConfig = None,
                 settings: ipm.IPMSettings = None,
                 goal_dynamics: bool = False, close_to_preds: bool = True,
-                ral: bool = True):
+                ral: bool = True, mpc_overrides: dict = None):
     """Build (ocp, policy_fn): policy_fn(state, carry) -> (action, carry).
 
     ``goal_dynamics``: evolve human goals through the horizon via the
@@ -142,6 +149,9 @@ def make_policy(env_cfg: EnvConfig, model: JMIDModel, mid_params,
                             # the Acados exporter's L1/L2 slack penalties
                             term_q_coeff=75.0 if ral else 100.0,
                             slack_mode="acados" if ral else "tro")
+    if mpc_overrides:
+        import dataclasses
+        mpc_cfg = dataclasses.replace(mpc_cfg, **mpc_overrides)
     if settings is None:
         # MID-conditioned per-crowd-size caps (campc_acados_opt.py:411-439)
         settings = ipm.realtime_settings(mpc_cfg.num_hums, with_mid=True)

@@ -237,6 +237,69 @@ def make_collect_step(net, env_cfg: EnvConfig, dqn: DQNConfig, actions):
     return collect
 
 
+class EpisodeRates(NamedTuple):
+    """Per-env episodic event counters + rolling completed-episode sums
+    (the reference CustomCallback's Collision/Frozen/Danger per-episode
+    occurrence rates + ReachGoal/Timeout rolling rates,
+    RL_nav/SB3_Support/callbacks.py:62-77)."""
+    steps: jnp.ndarray       # (B,) steps in the running episode
+    coll: jnp.ndarray        # (B,) event steps in the running episode
+    wall: jnp.ndarray
+    frozen: jnp.ndarray
+    danger: jnp.ndarray
+    ep_count: jnp.ndarray    # () completed episodes since last log
+    reach: jnp.ndarray       # () completed with ReachGoal
+    timeout: jnp.ndarray     # () completed with Timeout
+    rate_coll: jnp.ndarray   # () sum of per-episode step-fractions
+    rate_wall: jnp.ndarray
+    rate_frozen: jnp.ndarray
+    rate_danger: jnp.ndarray
+
+
+def init_episode_rates(n_envs: int) -> EpisodeRates:
+    z = jnp.zeros((n_envs,), jnp.float32)
+    s = jnp.float32(0.0)
+    return EpisodeRates(z, z, z, z, z, s, s, s, s, s, s, s)
+
+
+@jax.jit
+def update_episode_rates(acc: EpisodeRates, info) -> EpisodeRates:
+    steps = acc.steps + 1.0
+    coll = acc.coll + info.collision
+    wall = acc.wall + info.wall_collision
+    frozen = acc.frozen + info.frozen
+    danger = acc.danger + info.danger
+    done = info.done
+    fin = lambda ev: jnp.sum(jnp.where(done, ev / steps, 0.0))
+    acc = EpisodeRates(
+        steps=jnp.where(done, 0.0, steps),
+        coll=jnp.where(done, 0.0, coll),
+        wall=jnp.where(done, 0.0, wall),
+        frozen=jnp.where(done, 0.0, frozen),
+        danger=jnp.where(done, 0.0, danger),
+        ep_count=acc.ep_count + jnp.sum(done),
+        reach=acc.reach + jnp.sum(done & info.reach_goal),
+        timeout=acc.timeout + jnp.sum(done & info.timeout),
+        rate_coll=acc.rate_coll + fin(coll),
+        rate_wall=acc.rate_wall + fin(wall),
+        rate_frozen=acc.rate_frozen + fin(frozen),
+        rate_danger=acc.rate_danger + fin(danger))
+    return acc
+
+
+def episode_rates_record(acc: EpisodeRates) -> dict:
+    n = max(float(acc.ep_count), 1.0)
+    return {
+        "episodes": float(acc.ep_count),
+        "reach_goal_rate": float(acc.reach) / n,
+        "timeout_rate": float(acc.timeout) / n,
+        "collision_rate": float(acc.rate_coll) / n,
+        "wall_collision_rate": float(acc.rate_wall) / n,
+        "frozen_rate": float(acc.rate_frozen) / n,
+        "danger_rate": float(acc.rate_danger) / n,
+    }
+
+
 def train(net, env_cfg: EnvConfig, dqn: DQNConfig = DQNConfig(),
           n_envs: int = 32, seed: int = 0, total_steps: int = None,
           init_params=None, log_every: int = 200, log_dir: str = None,
@@ -291,10 +354,12 @@ def train(net, env_cfg: EnvConfig, dqn: DQNConfig = DQNConfig(),
     total = total_steps or dqn.total_timesteps
     history = []
     step_count = 0
+    ep_rates = init_episode_rates(n_envs)
     while step_count < total:
         key, k = jax.random.split(key)
         states, trans, info = collect(params, states, k, step_count)
         buf = buffer_add(buf, trans, n_envs)
+        ep_rates = update_episode_rates(ep_rates, info)
         step_count += n_envs
 
         if step_count > dqn.learning_starts:
@@ -312,6 +377,13 @@ def train(net, env_cfg: EnvConfig, dqn: DQNConfig = DQNConfig(),
                        "eps": float(epsilon(step_count, dqn)),
                        "reward_mean": float(jnp.mean(trans.reward)),
                        "done_rate": float(jnp.mean(trans.done))}
+                # per-episode Collision/Frozen/Danger/ReachGoal/Timeout
+                # rates over the window (CustomCallback parity)
+                rec.update(episode_rates_record(ep_rates))
+                ep_rates = init_episode_rates(n_envs)._replace(
+                    steps=ep_rates.steps, coll=ep_rates.coll,
+                    wall=ep_rates.wall, frozen=ep_rates.frozen,
+                    danger=ep_rates.danger)
                 history.append(rec)
                 if logger is not None:
                     logger.log(**rec)

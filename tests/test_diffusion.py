@@ -82,6 +82,31 @@ def test_metrics():
     assert np.isfinite(float(nll))
 
 
+def test_kde_nll_scipy_parity():
+    """Bit-parity with the reference's compute_kde_nll (evaluation.py:
+    191-233): scipy.gaussian_kde per timestep, logpdf clipped at -20 before
+    the average, NaN on singular covariance (LinAlgError path)."""
+    from scipy.stats import gaussian_kde
+    rng = np.random.default_rng(3)
+    S, T = 30, 8
+    pred = rng.normal(size=(S, T, 2)) * rng.uniform(0.2, 2.0, (1, T, 1))
+    gt = rng.normal(size=(T, 2)) * 2.0    # some timesteps land in the tail
+    ref_ll = 0.0
+    for t in range(T):
+        kde = gaussian_kde(pred[:, t].T)
+        ref_ll += max(float(kde.logpdf(gt[t].T)[0]), -20.0) / T
+    ours = float(EV.kde_nll(jnp.asarray(pred, jnp.float32),
+                            jnp.asarray(gt, jnp.float32)))
+    np.testing.assert_allclose(ours, -ref_ll, rtol=2e-4)
+
+    # degenerate: all samples identical at one timestep -> reference's
+    # gaussian_kde raises LinAlgError -> kde_ll = nan
+    pred_deg = pred.copy()
+    pred_deg[:, 2] = pred_deg[0, 2]
+    assert np.isnan(float(EV.kde_nll(jnp.asarray(pred_deg, jnp.float32),
+                                     jnp.asarray(gt, jnp.float32))))
+
+
 def test_build_examples_masks():
     pos = np.zeros((2, 20, 2))
     valid = np.ones((2, 20), bool)

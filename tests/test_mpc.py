@@ -104,6 +104,25 @@ def test_ipm_equality_constrained():
     np.testing.assert_allclose(np.asarray(z), [0.5, 0.5], atol=1e-3)
 
 
+def test_ipm_soc_on_curved_equality():
+    """Second-order correction: on a curved equality manifold
+    (x^2 + y^2 = 1, min -x -> (1, 0)) the SOC candidate must not break
+    convergence and the solver still lands on the optimum; the no-SOC and
+    SOC paths agree at the solution."""
+    f = lambda z: -z[0]
+    ce = lambda z: jnp.array([z[0] ** 2 + z[1] ** 2 - 1.0])
+    ci = lambda z: jnp.array([z[1] - 10.0])   # inactive
+    z0 = jnp.array([0.3, 0.8])
+    z_plain, info_plain = ipm.solve(f, ce, ci, z0,
+                                    ipm.IPMSettings(n_iter=30))
+    z_soc, info_soc = ipm.solve(f, ce, ci, z0,
+                                ipm.IPMSettings(n_iter=30, soc=True))
+    np.testing.assert_allclose(np.asarray(z_soc), [1.0, 0.0], atol=2e-3)
+    np.testing.assert_allclose(np.asarray(z_plain), np.asarray(z_soc),
+                               atol=5e-3)
+    assert float(info_soc.eq_viol) < 1e-3
+
+
 def test_campc_cvmm_moves_toward_goal():
     """MPC-CVMM baseline variant (small problem, fast compile)."""
     mpc_cfg = MPCConfig(num_hums=2, num_walls=1, hum_model="cvmm",
@@ -372,6 +391,50 @@ def test_campc_debug_mode(ocp, setup):
     assert dbg.trace.merit.shape == (3,)
     assert np.asarray(dbg.used_guess).dtype == bool
     assert set(dbg.viol_used) == set(dbg.viol_sol)
+
+
+def test_campc_aux_mode(ocp, setup):
+    """campc_action(aux=True) returns the CAMPCAux telemetry pytree with
+    the same action as the plain path; the cascade flags are mutually
+    consistent."""
+    state, _ = setup
+    settings = ipm.IPMSettings(n_iter=3)
+    a0, _ = C.campc_action(ocp, state, C.init_carry(ocp), ENV, settings)
+    a1, _, aux = C.campc_action(ocp, state, C.init_carry(ocp), ENV,
+                                settings, aux=True)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a0), atol=1e-6)
+    use_guess = bool(aux.use_guess)
+    # use_guess implies at least one rejection reason
+    if use_guess:
+        assert (not bool(aux.sol_feasible) or not bool(aux.sol_realistic)
+                or bool(aux.cost_worse))
+    assert np.isfinite(float(aux.exact_margin))
+    assert np.isfinite(float(aux.slack_max))
+
+
+def test_traced_rollout_matches_stateful(ocp, setup):
+    """rollout_episode_traced returns the same EpisodeStats as the plain
+    stateful rollout plus a per-step StepTrace."""
+    from sicnav_tpu.env import rollout as R
+    state, _ = setup
+    settings = ipm.IPMSettings(n_iter=2)
+
+    def step_plain(s, c):
+        return C.campc_action(ocp, s, c, ENV, settings)
+
+    def step_aux(s, c):
+        return C.campc_action(ocp, s, c, ENV, settings, aux=True)
+
+    _, stats0 = R.rollout_episode_stateful(state, C.init_carry(ocp),
+                                           step_plain, ENV, 5)
+    _, stats1, trace = R.rollout_episode_traced(state, C.init_carry(ocp),
+                                                step_aux, ENV, 5)
+    for f in stats0._fields:
+        np.testing.assert_allclose(np.asarray(getattr(stats1, f)),
+                                   np.asarray(getattr(stats0, f)),
+                                   atol=1e-5)
+    assert trace.dmin.shape == (5,)
+    assert trace.aux.use_guess.shape == (5,)
 
 
 def test_failed_solve_rebuilds_fresh_warmstart():

@@ -78,6 +78,47 @@ def test_short_dqn_run():
     params, hist = D.train(net, ENV, DQN, n_envs=4, total_steps=120,
                            log_every=2)
     assert all(np.isfinite(h["loss"]) for h in hist)
+    # CustomCallback-parity per-episode rates present and sane
+    for h in hist:
+        for k in ("collision_rate", "frozen_rate", "danger_rate",
+                  "reach_goal_rate", "timeout_rate",
+                  "wall_collision_rate"):
+            assert k in h and 0.0 <= h[k] <= 1.0
+
+
+def test_episode_rates_accumulator():
+    """Per-episode rate semantics: an episode with 2 collision steps out
+    of 4 contributes a 0.5 collision rate; rates average over completed
+    episodes only (callbacks.py:62-77)."""
+    import jax.numpy as jnp
+    acc = D.init_episode_rates(2)
+    from sicnav_tpu.env.types import StepInfo
+
+    def info(coll, done, reach):
+        z = jnp.zeros(2)
+        b = lambda v: jnp.asarray(v, bool)
+        return StepInfo(
+            reach_goal=b(reach), timeout=b(done) & ~b(reach),
+            collision=b(coll), wall_collision=b([False, False]),
+            frozen=b([False, False]), danger=b(coll), dmin=z,
+            r_success=z, r_timeout=z, r_collision=z, r_wall=z, r_danger=z,
+            r_progress=z, r_freezing=z, r_angular=z, r_linear=z,
+            total_reward=z, done=b(done))
+
+    # env0: collision on steps 1, 2 of 4; env1: clean, never done
+    acc = D.update_episode_rates(acc, info([True, False], [False, False],
+                                           [False, False]))
+    acc = D.update_episode_rates(acc, info([True, False], [False, False],
+                                           [False, False]))
+    acc = D.update_episode_rates(acc, info([False, False], [False, False],
+                                           [False, False]))
+    acc = D.update_episode_rates(acc, info([False, False], [True, False],
+                                           [True, False]))
+    rec = D.episode_rates_record(acc)
+    assert rec["episodes"] == 1.0
+    assert rec["collision_rate"] == 0.5
+    assert rec["reach_goal_rate"] == 1.0
+    assert rec["timeout_rate"] == 0.0
 
 
 def test_rgl_forward_finite():
