@@ -81,6 +81,7 @@ def main():
     p.add_argument("--ral", action=argparse.BooleanOptionalAction,
                    default=True)
     p.add_argument("--stage_margin", type=float, default=0.0)
+    p.add_argument("--wall_margin", type=float, default=0.0)
     p.add_argument("--brake_on_unreal_guess",
                    action=argparse.BooleanOptionalAction, default=None,
                    help="override MPCConfig.brake_on_unreal_guess")
@@ -108,7 +109,7 @@ def main():
         robot_nx=8 if args.ral else 4, robot_capsule=args.ral,
         term_q_coeff=75.0 if args.ral else 100.0,
         slack_mode="acados" if args.ral else "tro",
-        stage_margin=args.stage_margin)
+        stage_margin=args.stage_margin, wall_margin=args.wall_margin)
     if args.brake_on_unreal_guess is not None:
         mpc_kw["brake_on_unreal_guess"] = args.brake_on_unreal_guess
     settings = ipm.IPMSettings(n_iter=args.ipm_iters, soc=args.soc)
@@ -165,9 +166,8 @@ def main():
             s, c, step_fn, env_cfg, max_steps))(bs, carries)
         to_np = lambda t: jax.tree.map(np.asarray, t)
         all_stats.append(to_np(stats))
-        # time-major -> batch-major
-        tr = to_np(trace)
-        all_traces.append(jax.tree.map(lambda x: np.swapaxes(x, 0, 1), tr))
+        # vmap puts the episode batch axis first: leaves are (B, T, ...)
+        all_traces.append(to_np(trace))
 
     stats = jax.tree.map(lambda *xs: np.concatenate(xs), *all_stats)
     trace = jax.tree.map(lambda *xs: np.concatenate(xs), *all_traces)
@@ -210,6 +210,7 @@ def main():
     thirds = np.zeros(3)
     frozen_with_guess = 0
     frozen_total = 0
+    frozen_dmins = []
     for b in range(args.num_cases):
         idx = np.nonzero(fro[b])[0]
         if idx.size == 0:
@@ -219,6 +220,9 @@ def main():
             thirds[ph] += 1
         frozen_with_guess += int(tr["aux"]["use_guess"][b, idx].sum())
         frozen_total += idx.size
+        frozen_dmins.append(tr["dmin"][b, idx])
+    fd = np.concatenate(frozen_dmins) if frozen_dmins else np.zeros(0)
+    fd = fd[np.isfinite(fd)]
     report["frozen_audit"] = {
         "frozen_steps_total": int(frozen_total),
         "by_episode_third": [int(x) for x in thirds],
@@ -226,6 +230,13 @@ def main():
         "cascade_guess_step_freq": float(
             tr["aux"]["use_guess"][tr["live"]].mean()),
         "ebrake_step_freq": float(tr["aux"]["braked"][tr["live"]].mean()),
+        # yielding evidence: distance to the closest human at frozen steps
+        # (a robot waiting a door queue freezes with someone close by; a
+        # solver stall freezes in open space)
+        "frozen_dmin_p50": float(np.median(fd)) if fd.size else None,
+        "frozen_dmin_p90": float(np.percentile(fd, 90)) if fd.size else None,
+        "frozen_steps_with_human_within_1m": (
+            float(np.mean(fd < 1.0)) if fd.size else None),
     }
 
     out = json.dumps(report, indent=2)

@@ -71,14 +71,25 @@ def build_examples(pos, valid, dt, history_len=6, horizon=8, max_agents=None,
         agent_mask = valid[:, t].copy()
         if agent_mask.sum() == 0:
             continue
-        hist = state[:, h_sl]
-        hist_mask = valid[:, h_sl]
-        fut_vel = state[:, f_sl, 2:4]
-        fut_mask = valid[:, f_sl]
-        cur = pos[:, t]
+        if A > max_agents:
+            # compact: agents PRESENT at t first (ETH-style files carry
+            # every track id of the sequence; a naive [:max_agents] slice
+            # would drop the active agents of later windows — the
+            # reference gathers present nodes per timestep,
+            # preprocessing.get_timesteps_data:623)
+            order = np.argsort(~agent_mask, kind="stable")[:max_agents]
+        else:
+            order = np.arange(A)
+        A_w = order.shape[0]
+        agent_mask = agent_mask[order]
+        hist = state[order][:, h_sl]
+        hist_mask = valid[order][:, h_sl]
+        fut_vel = state[order][:, f_sl, 2:4]
+        fut_mask = valid[order][:, f_sl]
+        cur = pos[order][:, t]
         d = np.linalg.norm(cur[:, None] - cur[None, :], axis=-1)
         neighbor_mask = (d < ATTENTION_RADIUS) & agent_mask[:, None] & \
-            agent_mask[None, :] & ~np.eye(A, dtype=bool)
+            agent_mask[None, :] & ~np.eye(A_w, dtype=bool)
 
         def pad(x, fill=0.0):
             if x.shape[0] >= max_agents:

@@ -107,6 +107,22 @@ def test_kde_nll_scipy_parity():
                                      jnp.asarray(gt, jnp.float32))))
 
 
+def test_build_examples_compacts_sparse_agent_slots():
+    """ETH-style concatenated sequences carry many track ids with few
+    present at any timestep; windows must keep the PRESENT agents when
+    truncating to max_agents (not the first slots)."""
+    A, T = 30, 40
+    pos = np.random.default_rng(0).normal(size=(A, T, 2))
+    valid = np.zeros((A, T), bool)
+    valid[20:27, :] = True          # only late slots are ever present
+    ex = D.build_examples(pos, valid, 0.4, history_len=4, horizon=4,
+                          max_agents=8)
+    assert len(ex) > 0
+    for e in ex:
+        assert e.agent_mask.sum() == 7     # all present agents retained
+        assert e.hist.shape == (8, 4, 6)
+
+
 def test_build_examples_masks():
     pos = np.zeros((2, 20, 2))
     valid = np.ones((2, 20), bool)
