@@ -81,7 +81,7 @@ def main():
     p.add_argument("--ral", action=argparse.BooleanOptionalAction,
                    default=True)
     p.add_argument("--stage_margin", type=float, default=0.0)
-    p.add_argument("--wall_margin", type=float, default=0.0)
+    p.add_argument("--wall_margin", type=float, default=0.05)
     p.add_argument("--brake_on_unreal_guess",
                    action=argparse.BooleanOptionalAction, default=None,
                    help="override MPCConfig.brake_on_unreal_guess")

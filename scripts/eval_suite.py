@@ -51,12 +51,15 @@ def main():
                    help="IPM second-order correction steps")
     p.add_argument("--ref_type", default="point_stab",
                    choices=["point_stab", "goal_tile"])
-    # round-3 safety knobs (collision_taxonomy-guided hardening)
+    # round-3 safety knobs (collision_taxonomy-guided hardening; defaults
+    # match MPCConfig — brake + wall margin ON)
     p.add_argument("--stage_margin", type=float, default=0.0,
                    help="per-stage human-collision margin growth (m/stage)")
-    p.add_argument("--wall_margin", type=float, default=0.0,
-                   help="flat extra wall clearance (m)")
-    p.add_argument("--brake_on_unreal_guess", action="store_true",
+    p.add_argument("--wall_margin", type=float, default=0.05,
+                   help="flat extra wall clearance (m); 0 restores the r2 "
+                        "behavior")
+    p.add_argument("--brake_on_unreal_guess",
+                   action=argparse.BooleanOptionalAction, default=True,
                    help="cascade tightening: e-brake when the adopted "
                         "guess's exact rollout predicts a collision")
     p.add_argument("--allow_random_params", action="store_true",

@@ -28,10 +28,15 @@ def main():
                         "(reference: 15-degree steps over 360)")
     p.add_argument("--n_sim_scenes", type=int, default=64)
     p.add_argument("--out", default="processed_data/train.npz")
+    p.add_argument("--pkl_out", default=None,
+                   help="ALSO write a reference-format dill Environment "
+                        "pkl (env_pkl interchange; loadable by the "
+                        "reference's dataset/dataset.py)")
     args = p.parse_args()
 
     from sicnav_tpu.diffusion import data as D
 
+    raw_scenes = []   # (name, dt, pos, valid) for the pkl interchange
     examples = []
     if args.source == "sim":
         from scripts.train_jmid import generate_sim_scenes
@@ -46,6 +51,8 @@ def main():
             pos, valid = D.load_trajectory_file(f, dt=args.dt,
                                                 frame_divisor=frame_div,
                                                 center=args.source == "jrdb")
+            raw_scenes.append((os.path.basename(f).split(".")[0],
+                               args.dt, pos, valid))
             examples += D.build_examples(pos, valid, args.dt,
                                          history_len=args.history_len,
                                          horizon=args.horizon,
@@ -66,6 +73,13 @@ def main():
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     np.savez_compressed(args.out, **stacked._asdict())
     print(f"wrote {len(examples)} scene examples -> {args.out}")
+    if args.pkl_out:
+        from sicnav_tpu.diffusion import env_pkl as EP
+        if not raw_scenes:
+            raise SystemExit("--pkl_out requires file sources (not sim)")
+        EP.save_environment(args.pkl_out,
+                            EP.arrays_to_environment(raw_scenes))
+        print(f"wrote reference-format Environment pkl -> {args.pkl_out}")
 
 
 def load_processed(path):
