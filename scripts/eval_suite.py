@@ -62,6 +62,12 @@ def main():
                    action=argparse.BooleanOptionalAction, default=True,
                    help="cascade tightening: e-brake when the adopted "
                         "guess's exact rollout predicts a collision")
+    p.add_argument("--dwa_nv", type=int, default=8,
+                   help="DWA static-window v samples (reference fixed-"
+                        "resolution equivalent: ~3-4)")
+    p.add_argument("--dwa_nw", type=int, default=64,
+                   help="DWA static-window yaw-rate samples (reference "
+                        "~60 at 0.5 deg/s)")
     p.add_argument("--allow_random_params", action="store_true",
                    help="evaluate a learned policy WITHOUT a checkpoint "
                         "(randomly initialized params — ablation only)")
@@ -84,8 +90,12 @@ def main():
         robot_kinematics="holonomic" if args.policy == "orca_plus" else "unicycle")
 
     if args.policy == "dwa":
-        from sicnav_tpu.policies.dwa import dwa_policy
-        res = harness.evaluate_policy(lambda s: dwa_policy(s, env_cfg),
+        from sicnav_tpu.policies.dwa import DWAConfig, dwa_policy
+        dcfg = DWAConfig(max_speed=env_cfg.robot_v_pref,
+                         min_speed=-env_cfg.robot_v_pref,
+                         robot_radius=env_cfg.robot_radius, dt=env_cfg.dt,
+                         n_v=args.dwa_nv, n_w=args.dwa_nw)
+        res = harness.evaluate_policy(lambda s: dwa_policy(s, env_cfg, dcfg),
                                       env_cfg, args.num_cases, args.phase,
                                       args.batch)
     elif args.policy == "orca_plus":
