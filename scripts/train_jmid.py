@@ -118,12 +118,6 @@ def main():
         n_val = max(len(examples) // 10, 1)
         val, train = examples[:n_val], examples[n_val:]
 
-    def batches(ex):
-        out = []
-        for i in range(0, len(ex) - args.batch_size + 1, args.batch_size):
-            out.append(D.stack_batches(ex[i:i + args.batch_size]))
-        return out
-
     if recipe is not None:
         import dataclasses as _dc
         model = JMIDModel(recipe.model, joint=recipe.joint)
@@ -138,6 +132,14 @@ def main():
         tc = TrainConfig(joint=args.method == "mid_jp", lr=args.lr,
                          epochs=args.epochs or 90,
                          batch_size=args.batch_size, seed=args.seed)
+
+    def batches(ex):
+        # batch at the RECIPE's batch size, not the CLI default
+        bs = tc.batch_size
+        out = []
+        for i in range(0, len(ex) - bs + 1, bs):
+            out.append(D.stack_batches(ex[i:i + bs]))
+        return out
     import time
     val_batches = batches(val)
     if args.max_val_batches:

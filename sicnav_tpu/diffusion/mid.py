@@ -254,6 +254,11 @@ def fit(model: JMIDModel, train_batches, val_batches, tc: TrainConfig,
             best_ade = val_ade
             best_params = params
             patience = 0
+            # persist best-so-far on every improvement (the reference's
+            # _save_model_if_best, mid.py:1511) so long runs cut by a
+            # wall-clock cap still leave a valid best checkpoint
+            if checkpoint_dir is not None:
+                save_checkpoint(checkpoint_dir, best_params)
         else:
             patience += 1
             if patience >= tc.early_stop_patience:
