@@ -286,10 +286,20 @@ def campc_action(ocp: OCP, state: SimState, carry: CAMPCCarry,
     guess_ok = jnp.all(jnp.isfinite(z_guess))
     if cfg.brake_on_unreal_guess:
         u_rob_g, _, _, _ = ocp.unpack(z_guess)
-        Xr_g, Xh_g = WS.exact_human_rollout(ocp, params, u_rob_g)
-        d_g = jnp.linalg.norm(Xr_g[:, None, :2] - Xh_g[:, :, :2], axis=-1)
-        guess_ok = guess_ok & jnp.all(d_g > params.hum_coll_radii[None, :] +
-                                      params.rob_radius)
+
+        def _guess_margin(_):
+            Xr_g, Xh_g = WS.exact_human_rollout(ocp, params, u_rob_g)
+            d_g = jnp.linalg.norm(Xr_g[:, None, :2] - Xh_g[:, :, :2],
+                                  axis=-1)
+            return jnp.min(d_g - (params.hum_coll_radii[None, :] +
+                                  params.rob_radius))
+
+        # the margin only gates the brake when the guess is ADOPTED —
+        # lax.cond skips the extra exact rollout on successful solves in
+        # the unbatched real-time path (vmapped fleets select both sides)
+        margin_g = jax.lax.cond(use_guess, _guess_margin,
+                                lambda _: jnp.float32(jnp.inf), None)
+        guess_ok = guess_ok & (margin_g > 0.0)
     u_rob, _, _, _ = ocp.unpack(z_used)
     v_brake = jnp.maximum(ocp.rob_v_prev(params.x0_rob) + cfg.max_l_dcc * cfg.dt, 0.0)
     action_u = jnp.where(guess_ok | ~use_guess, u_rob[0],
