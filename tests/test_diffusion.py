@@ -228,6 +228,21 @@ def test_render_episode(tmp_path):
     out = render_episode(traj, cfg, str(tmp_path / "ep.gif"))
     import os
     assert os.path.exists(out) and os.path.getsize(out) > 0
+    # full overlay set (plan + guess + human plans + weighted fans + FOV),
+    # world frame and robocentric (overlays must transform with the frame)
+    T, H, k, F = 4, 2, 3, 5
+    rng = np.random.default_rng(0)
+    ov = dict(plans=rng.normal(size=(T, 5, 2)),
+              guesses=rng.normal(size=(T, 5, 2)),
+              human_plans=rng.normal(size=(T, H, 5, 2)),
+              forecasts=rng.normal(size=(T, H, k, F, 2)),
+              forecast_weights=rng.normal(size=(T, H, k)))
+    out2 = render_episode(traj, cfg, str(tmp_path / "ov.gif"),
+                          fov_deg=120.0, **ov)
+    assert os.path.getsize(out2) > 0
+    out3 = render_episode(traj, cfg, str(tmp_path / "rc.gif"),
+                          robocentric=True, **ov)
+    assert os.path.getsize(out3) > 0
 
 
 def test_eval_scene_full_metric_set():
