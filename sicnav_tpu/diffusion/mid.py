@@ -25,7 +25,8 @@ from sicnav_tpu.diffusion import evaluation as EV
 from sicnav_tpu.diffusion.data import SceneBatch
 from sicnav_tpu.diffusion.models import (
     JointTransformerConcatLinear, ModelConfig, TrajectronEncoder,
-    TransformerConcatLinear, integrate_velocity_samples, standardize_history,
+    TransformerConcatLinear, integrate_velocity_samples, make_denoiser,
+    standardize_history,
 )
 
 
@@ -52,10 +53,10 @@ class JMIDModel(nn.Module):
 
     def setup(self):
         self.encoder = TrajectronEncoder(self.cfg)
-        if self.joint:
-            self.denoiser = JointTransformerConcatLinear(self.cfg)
-        else:
-            self.denoiser = TransformerConcatLinear(self.cfg)
+        # cfg.diffnet selects among the reference's denoiser family
+        # (diffusion.py:67-690 via config.diffnet, mid.py:1273); default is
+        # the exercised TransformerConcatLinear / JointPrediction... pair.
+        self.denoiser, self.denoiser_joint = make_denoiser(self.cfg, self.joint)
 
     def encode(self, batch: SceneBatch, deterministic=True):
         """Per-agent context vectors (A, 2*enc_rnn_dim)."""
@@ -80,7 +81,7 @@ class JMIDModel(nn.Module):
                         jnp.ones((T, T), jnp.int32)).astype(bool)
 
     def denoise(self, x, beta, context, batch: SceneBatch, deterministic=True):
-        if self.joint:
+        if self.denoiser_joint:
             return self.denoiser(x, beta, context, self.scene_attn_mask(batch),
                                  deterministic=deterministic)
         return self.denoiser(x, beta, context, deterministic=deterministic)
@@ -99,7 +100,7 @@ class JMIDModel(nn.Module):
         """Forecast positions: (n_samples, A, T, 2)."""
         context = self.encode(batch)
         sched = DF.make_schedule(100)
-        if self.joint:
+        if self.denoiser_joint:
             # tile the scene mask across samples by vmapping per sample
             def net(x, beta, ctx):
                 S = x.shape[0] // batch.agent_mask.shape[0]

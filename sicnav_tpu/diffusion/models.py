@@ -42,6 +42,11 @@ class ModelConfig:
     horizon: int = 8
     dropout: float = 0.1
     rnn_dropout: float = 0.25       # 1 - dropout_keep_prob
+    # denoiser selection, named as the reference's config.diffnet values
+    # (mid.py:1273 getattr(diffusion, config.diffnet)); "" = default for the
+    # joint/marginal mode.
+    diffnet: str = ""
+    residual: bool = False          # TrajNet's residual flag (diffusion.py:70)
 
 
 class _MaskedLSTMCell(nn.Module):
@@ -235,6 +240,169 @@ class JointTransformerConcatLinear(nn.Module):
         h = ConcatSquashLinear(cfg.context_dim, name="concat3")(ctx, h)
         h = ConcatSquashLinear(cfg.context_dim // 2, name="concat4")(ctx, h)
         return ConcatSquashLinear(cfg.pred_dim, name="linear")(ctx, h)
+
+
+class TrajNet(nn.Module):
+    """ConcatSquash MLP denoiser (diffusion.py:67-109): per-point
+    2->128->256->512->256->128->2 with leaky-relu between layers, optional
+    input residual. Tokens never mix — purely pointwise over the horizon."""
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, x, beta, context, deterministic=True):
+        # x: (B, T, 2); beta: (B,); context: (B, F)
+        b = beta[:, None, None]
+        time_emb = jnp.concatenate([b, jnp.sin(b), jnp.cos(b)], axis=-1)
+        ctx = jnp.concatenate([time_emb, context[:, None, :]], axis=-1)
+        h = x
+        widths = (128, 256, 512, 256, 128, self.cfg.pred_dim)
+        for i, w in enumerate(widths):
+            h = ConcatSquashLinear(w, name=f"csl_{i}")(ctx, h)
+            if i < len(widths) - 1:
+                h = nn.leaky_relu(h)
+        return x + h if self.cfg.residual else h
+
+
+class TransformerLinear(nn.Module):
+    """128-d transformer denoiser with a prepended context token
+    (diffusion.py:377-411): ctx and horizon points are lifted to 128, the
+    context rides as token 0 and is dropped before the output head."""
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, x, beta, context, deterministic=True):
+        b = beta[:, None, None]
+        time_emb = jnp.concatenate([b, jnp.sin(b), jnp.cos(b)], axis=-1)
+        ctx = jnp.concatenate([time_emb, context[:, None, :]], axis=-1)
+        ctx128 = nn.Dense(128, name="ctx_up")(ctx)         # (B, 1, 128)
+        emb = nn.Dense(128, name="y_up")(x)                # (B, T, 128)
+        h = jnp.concatenate([ctx128, emb], axis=1)         # (B, T+1, 128)
+        h = h + positional_encoding(h.shape[1], 128)[None]
+        for i in range(3):
+            h = TransformerEncoderLayer(128, 2, 512, self.cfg.dropout,
+                                        name=f"tf_{i}")(
+                h, deterministic=deterministic)
+        return nn.Dense(self.cfg.pred_dim, name="linear")(h[:, 1:])
+
+
+class _FlatMLP(nn.Module):
+    """Shared body of SmallMLP/BigMLP (diffusion.py:616-690): the whole
+    horizon is flattened with [context, t] into one vector and mapped back."""
+    cfg: ModelConfig
+    widths: tuple
+
+    @nn.compact
+    def __call__(self, x, beta, context, deterministic=True):
+        B, T, D = x.shape
+        h = jnp.concatenate(
+            [x.reshape(B, T * D), context.reshape(B, -1), beta[:, None]],
+            axis=-1)
+        for i, w in enumerate(self.widths):
+            h = nn.leaky_relu(nn.Dense(w, name=f"layer_{i}")(h))
+        h = nn.Dense(T * D, name="out")(h)
+        return h.reshape(B, T, D)
+
+
+class SmallMLP(nn.Module):
+    """diffusion.py:616-646."""
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, x, beta, context, deterministic=True):
+        return _FlatMLP(self.cfg, (512, 512, 512), name="mlp")(
+            x, beta, context, deterministic)
+
+
+class BigMLP(nn.Module):
+    """diffusion.py:648-690."""
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, x, beta, context, deterministic=True):
+        return _FlatMLP(self.cfg, (512,) + (1024,) * 9 + (512,), name="mlp")(
+            x, beta, context, deterministic)
+
+
+class LinearDecoder(nn.Module):
+    """Plain latent->horizon decoder (diffusion.py:414-439):
+    32->64->128->256->512->256->128->horizon with leaky-relu between."""
+    out_dim: int = 12
+
+    @nn.compact
+    def __call__(self, code):
+        widths = (64, 128, 256, 512, 256, 128)
+        h = code
+        for i, w in enumerate(widths):
+            h = nn.leaky_relu(nn.Dense(w, name=f"layer_{i}")(h))
+        return nn.Dense(self.out_dim, name="out")(h)
+
+
+class JointInstanceTransformerConcatLinear(nn.Module):
+    """Agent-token JMID denoisers (diffusion.py:211-375, v1/v2/v3): each
+    agent's whole embedded horizon is flattened into ONE token of width
+    2*context_dim*horizon and attention runs across agents. v2 adds an MLP
+    before the transformer, v3 one before and after. The reference runs
+    these unmasked on one scene per batch; here padded agents are masked
+    out via the scene mask's agent diagonal."""
+    cfg: ModelConfig
+    variant: int = 1
+
+    @nn.compact
+    def __call__(self, x, beta, context, scene_mask, deterministic=True):
+        cfg = self.cfg
+        d = 2 * cfg.context_dim
+        A, T, _ = x.shape
+        b = beta[:, None, None]
+        time_emb = jnp.concatenate([b, jnp.sin(b), jnp.cos(b)], axis=-1)
+        ctx = jnp.concatenate([time_emb, context[:, None, :]], axis=-1)
+
+        h = ConcatSquashLinear(d, name="concat1")(ctx, x)   # (A, T, d)
+        h = h + positional_encoding(T, d)[None]
+        flat = h.reshape(1, A, T * d)                       # agents as tokens
+        if self.variant >= 2:
+            m = nn.relu(nn.Dense(T * d, name="mlp1_fc1")(flat))
+            flat = nn.Dense(T * d, name="mlp1_fc2")(m)
+        amask = scene_mask[::T, ::T]                        # (A, A) agent mask
+        mask = amask[None, None]
+        for i in range(cfg.tf_layer):
+            flat = TransformerEncoderLayer(T * d, cfg.n_heads,
+                                           4 * cfg.context_dim, cfg.dropout,
+                                           name=f"tf_{i}")(
+                flat, mask=mask, deterministic=deterministic)
+        if self.variant >= 3:
+            m = nn.relu(nn.Dense(T * d, name="mlp2_fc1")(flat))
+            flat = nn.Dense(T * d, name="mlp2_fc2")(m)
+        h = flat.reshape(A, T, d)
+        h = ConcatSquashLinear(cfg.context_dim, name="concat3")(ctx, h)
+        h = ConcatSquashLinear(cfg.context_dim // 2, name="concat4")(ctx, h)
+        return ConcatSquashLinear(cfg.pred_dim, name="linear")(ctx, h)
+
+
+# config.diffnet name -> (constructor, joint?) — the reference resolves these
+# via getattr(diffusion, config.diffnet) (mid.py:1273).
+DIFFNETS = {
+    "TransformerConcatLinear": (lambda cfg: TransformerConcatLinear(cfg), False),
+    "TrajNet": (lambda cfg: TrajNet(cfg), False),
+    "TransformerLinear": (lambda cfg: TransformerLinear(cfg), False),
+    "SmallMLP": (lambda cfg: SmallMLP(cfg), False),
+    "BigMLP": (lambda cfg: BigMLP(cfg), False),
+    "JointPredictionTransformerConcatLinear":
+        (lambda cfg: JointTransformerConcatLinear(cfg), True),
+    "JointPredictionInstanceTransformerConcatLinear":
+        (lambda cfg: JointInstanceTransformerConcatLinear(cfg, variant=1), True),
+    "JointPredictionInstanceTransformerConcatLinearv2":
+        (lambda cfg: JointInstanceTransformerConcatLinear(cfg, variant=2), True),
+    "JointPredictionInstanceTransformerConcatLinearv3":
+        (lambda cfg: JointInstanceTransformerConcatLinear(cfg, variant=3), True),
+}
+
+
+def make_denoiser(cfg: ModelConfig, joint: bool):
+    """Resolve cfg.diffnet (or the mode default) to (module, is_joint)."""
+    name = cfg.diffnet or ("JointPredictionTransformerConcatLinear" if joint
+                           else "TransformerConcatLinear")
+    ctor, is_joint = DIFFNETS[name]
+    return ctor(cfg), is_joint
 
 
 def standardize_history(hist_raw, current_pos):

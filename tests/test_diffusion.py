@@ -301,3 +301,32 @@ def test_partial_future_masking_no_agent_drop():
     sm = jnp.stack([jnp.ones(T, bool), mask])
     sade, sfde = EV.scene_ade_fde(pred2, gt2, jnp.array([True, True]), sm)
     np.testing.assert_allclose(float(sade), np.sqrt(2) * 0.1, rtol=1e-4)
+
+
+def test_diffnet_variants_loss_and_sample():
+    """Every config.diffnet name (reference diffusion.py:67-690) initializes,
+    trains one step, and samples with finite outputs."""
+    import pytest  # noqa: F401
+    from sicnav_tpu.diffusion.models import DIFFNETS
+
+    batches = _synthetic_batches(n_scenes=2)
+    b = batches[0]
+    key = jax.random.PRNGKey(0)
+    for name, (_, is_joint) in DIFFNETS.items():
+        cfg = ModelConfig(context_dim=16, enc_rnn_dim=8, tf_layer=1,
+                          n_heads=2, history_len=6, horizon=8, diffnet=name)
+        model = JMIDModel(cfg, joint=is_joint)
+        params = model.init({"params": key, "dropout": key}, b, key)
+        loss = model.apply(params, b, key, rngs={"dropout": key})
+        assert np.isfinite(float(loss)), name
+        out = model.apply(params, b, key, 3, method=JMIDModel.sample)
+        assert out.shape == (3, b.hist.shape[0], 8, 2), name
+        assert np.isfinite(np.asarray(out)).all(), name
+
+
+def test_linear_decoder_shape():
+    from sicnav_tpu.diffusion.models import LinearDecoder
+    dec = LinearDecoder(out_dim=12)
+    params = dec.init(jax.random.PRNGKey(0), jnp.ones((4, 32)))
+    out = dec.apply(params, jnp.ones((4, 32)))
+    assert out.shape == (4, 12)
