@@ -49,6 +49,9 @@ def main():
     p.add_argument("--ipm_iters", type=int, default=30)
     p.add_argument("--soc", action="store_true",
                    help="IPM second-order correction steps")
+    p.add_argument("--ipm_early_exit", type=float, default=0.0,
+                   help="KKT-residual early-exit tolerance (>= 1e-4 in "
+                        "f32); 0 keeps the fixed-trip iteration scan")
     p.add_argument("--ref_type", default="point_stab",
                    choices=["point_stab", "goal_tile"])
     # round-3 safety knobs (collision_taxonomy-guided hardening; defaults
@@ -145,7 +148,8 @@ def main():
             params = load_checkpoint(os.path.abspath(args.checkpoint), params)
         ocp, policy = SD.make_policy(
             env_cfg, model, params, fcfg=fcfg,
-            settings=ipm.IPMSettings(n_iter=args.ipm_iters, soc=args.soc),
+            settings=ipm.IPMSettings(n_iter=args.ipm_iters, soc=args.soc,
+                                     early_exit_tol=args.ipm_early_exit),
             goal_dynamics=args.goal_dynamics,
             close_to_preds=not args.no_close_to_preds, ral=args.ral,
             mpc_overrides={
@@ -179,7 +183,8 @@ def main():
             brake_on_unreal_guess=args.brake_on_unreal_guess)
         from sicnav_tpu.mpc import ipm
         ocp, policy = C.make_policy(env_cfg, mpc_cfg,
-                                    settings=ipm.IPMSettings(n_iter=args.ipm_iters, soc=args.soc))
+                                    settings=ipm.IPMSettings(n_iter=args.ipm_iters, soc=args.soc,
+                                     early_exit_tol=args.ipm_early_exit))
         if args.noise_std > 0:
             from sicnav_tpu.utils.robustness import (NoiseConfig,
                                                      noisy_policy_stateful)

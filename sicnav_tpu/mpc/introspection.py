@@ -41,6 +41,8 @@ class IterTrace(NamedTuple):
     delta: jnp.ndarray
     eq_viol: jnp.ndarray
     ineq_viol: jnp.ndarray
+    kkt_stat: jnp.ndarray   # gradient-scaled dual infeasibility |r_d|/(1+|g|)
+    kkt_comp: jnp.ndarray   # gradient-scaled complementarity max(s*lam)/(1+|g|)
 
 
 def constraint_report(ocp: OCP, z, params: MPCParams) -> Dict[str, GroupViolation]:

@@ -46,6 +46,33 @@ class IPMSettings:
     # step as an extra line-search candidate. One extra back-substitution
     # + one constraint evaluation per iteration; no re-factorization.
     soc: bool = False
+    # early exit (real-time latency lever): when > 0 and no per-iteration
+    # trace is requested, the fixed-trip scan becomes a lax.while_loop that
+    # stops once the current iterate's KKT error converges (the
+    # per-instance adaptive version of the reference's hand-tuned
+    # per-crowd-size Acados iteration caps, "To run at 10 Hz",
+    # campc_acados_opt.py:411-439). Gating on the KKT residual rather than
+    # on an accepted step matters: at the optimum the merit line search
+    # returns alpha = 0 forever, so a step-based test never fires, while
+    # alpha = 0 stalls at NON-optimal points keep a large residual and
+    # correctly run to n_iter.
+    #
+    # HPIPM-style SEPARATE tolerances: early_exit_tol bounds gradient-scaled
+    # stationarity + primal eq/ineq feasibility; early_exit_comp_tol bounds
+    # scaled complementarity. They must differ because the adaptive schedule
+    # computes mu FROM the current complementarity (mu = sigma*mean(s lam)),
+    # so once the line search reaches the barrier optimum, mu and comp
+    # freeze in a fixed ratio — measured plateau ~3.6e-4 scaled — and a
+    # single tight tolerance on comp would never fire even though
+    # stationarity is at 1e-7 and the objective is converged to O(mu).
+    #
+    # Tolerance floor: the converged kkt_stat plateau is f32-rounding-
+    # limited and VARIES with XLA codegen (measured 1.4e-7 on plain CPU vs
+    # 3.1e-5 with --xla_force_host_platform_device_count=8 — different
+    # reduction orders). Use early_exit_tol >= 1e-4 in f32 or the exit may
+    # never fire on some backends (the n_iter cap still bounds the loop).
+    early_exit_tol: float = 0.0
+    early_exit_comp_tol: float = 1e-3
     exact_hessian: bool = True
     precondition: bool = True   # diagonal z-space scaling from the initial
                                 # Hessian (tames the 1e6-range slack-penalty
@@ -91,6 +118,7 @@ class IPMInfo(NamedTuple):
     eq_viol: jnp.ndarray     # max |c_E|
     ineq_viol: jnp.ndarray   # max(0, c_I) max
     comp: jnp.ndarray        # mean s*lam
+    iters: jnp.ndarray = jnp.int32(0)  # iterations actually run
 
 
 def _merit(f_val, c_e, c_i, s, mu, nu):
@@ -182,6 +210,12 @@ def solve(f_fn: Callable, ceq_fn: Callable, cineq_fn: Callable,
 
         D = lam / jnp.maximum(s, st.s_min)
         r_d = g + J_e.T @ y + J_i.T @ lam
+        # scaled KKT error of the CURRENT iterate (IPOPT eq. (5) style):
+        # f32 cancellation in r_d is ~1e-7 x gradient magnitude, so the
+        # 1e6-range slack-penalty gradients force a relative measure
+        kkt_scale = 1.0 + jnp.max(jnp.abs(g), initial=0.0)
+        kkt_stat = jnp.max(jnp.abs(r_d), initial=0.0) / kkt_scale
+        kkt_comp = jnp.max(s * lam, initial=0.0) / kkt_scale
         corr = (mu / jnp.maximum(s, st.s_min) - lam) + D * (c_i + s)
 
         H_red = W + (J_i.T * D) @ J_i
@@ -296,13 +330,34 @@ def solve(f_fn: Callable, ceq_fn: Callable, cineq_fn: Callable,
                              merit_best)
         trace = (f_val, merit_best, alpha, mu, delta,
                  jnp.max(jnp.abs(c_e), initial=0.0),
-                 jnp.max(jnp.maximum(c_i, 0.0), initial=0.0))
+                 jnp.max(jnp.maximum(c_i, 0.0), initial=0.0),
+                 kkt_stat, kkt_comp)
         return new_state, trace
 
     init = IPMState(z0, y0, lam0, s0,
                     jnp.asarray(st.delta_init, dtype),
                     jnp.asarray(jnp.inf, dtype))
-    final, trace = jax.lax.scan(step, init, jnp.arange(st.n_iter))
+    if st.early_exit_tol > 0.0 and not return_trace:
+        tol = st.early_exit_tol
+
+        def cond_fn(carry):
+            state, it, done = carry
+            return (it < st.n_iter) & ~done
+
+        def body_fn(carry):
+            state, it, _ = carry
+            new_state, tr = step(state, it)
+            _, _, _, _, _, eq_v, ineq_v, kkt_stat, kkt_comp = tr
+            done = ((kkt_stat < tol) & (eq_v < tol) & (ineq_v < tol) &
+                    (kkt_comp < st.early_exit_comp_tol))
+            return new_state, it + 1, done
+
+        final, n_used, _ = jax.lax.while_loop(
+            cond_fn, body_fn, (init, jnp.int32(0), jnp.asarray(False)))
+        trace = None
+    else:
+        final, trace = jax.lax.scan(step, init, jnp.arange(st.n_iter))
+        n_used = jnp.int32(st.n_iter)
 
     c_e = ceq_fn(final.z) if m_e else jnp.zeros((0,), dtype)
     c_i = cineq_fn(final.z)
@@ -310,7 +365,8 @@ def solve(f_fn: Callable, ceq_fn: Callable, cineq_fn: Callable,
         obj=f_fn(final.z),
         eq_viol=jnp.max(jnp.abs(c_e), initial=0.0),
         ineq_viol=jnp.max(jnp.maximum(c_i, 0.0), initial=0.0),
-        comp=jnp.dot(final.s, final.lam) / m_i)
+        comp=jnp.dot(final.s, final.lam) / m_i,
+        iters=n_used)
     z_out = final.z * D if D is not None else final.z
     if return_trace and return_duals:
         return z_out, info, trace, (final.y, final.lam, final.s)

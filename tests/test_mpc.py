@@ -511,3 +511,33 @@ def test_v_signed_alignment_wrap():
         r_vel=-0.5 * jnp.array([np.cos(0.8), np.sin(0.8)], jnp.float32))
     params = campc.build_params(ocp, st, env_cfg)
     assert float(params.x0_rob[3]) < -0.49
+
+
+def test_ipm_early_exit_matches_full_run():
+    """early_exit_tol converts the fixed-trip scan into a while_loop that
+    stops at convergence: same optimum, fewer iterations, iters telemetry."""
+    f = lambda z: (z[0] - 2.0) ** 2 + z[1] ** 2
+    ce = lambda z: jnp.array([z[0] + z[1] - 1.0])
+    ci = lambda z: jnp.array([z[0] - 5.0])
+    z0 = jnp.array([2.0, -1.0])
+    # 1e-4/1e-2: f32 tolerances above the codegen-dependent rounding floor
+    # (see IPMSettings.early_exit_tol notes); the iterate is converged to
+    # O(mu) well before these fire
+    z_full, info_full = ipm.solve(f, ce, ci, z0, ipm.IPMSettings(n_iter=60))
+    z_ee, info_ee = ipm.solve(f, ce, ci, z0,
+                              ipm.IPMSettings(n_iter=60, early_exit_tol=1e-4,
+                                              early_exit_comp_tol=1e-2))
+    np.testing.assert_allclose(np.asarray(z_ee), np.asarray(z_full), atol=1e-3)
+    assert int(info_ee.iters) < 60
+    assert int(info_full.iters) == 60
+    # trace requests keep the fixed-trip scan (early exit silently off)
+    z_tr, _, trace = ipm.solve(f, ce, ci, z0,
+                               ipm.IPMSettings(n_iter=20, early_exit_tol=1e-4, early_exit_comp_tol=1e-2),
+                               return_trace=True)
+    assert trace[0].shape[0] == 20
+    # vmapped batch: while_loop still runs under vmap, solutions match
+    z0s = jnp.stack([z0, jnp.array([0.0, 0.0]), jnp.array([-3.0, 4.0])])
+    sv = ipm.IPMSettings(n_iter=60, early_exit_tol=1e-4, early_exit_comp_tol=1e-2)
+    zs, infos = jax.vmap(lambda z: ipm.solve(f, ce, ci, z, sv))(z0s)
+    np.testing.assert_allclose(np.asarray(zs),
+                               np.tile(np.asarray(z_full), (3, 1)), atol=1e-3)
