@@ -20,13 +20,14 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def run_suite(iters, args, extra=()):
+def run_suite(iters, args, extra=(), early_exit=0.0):
     cmd = [sys.executable, os.path.join(os.path.dirname(__file__),
                                         "eval_suite.py"),
            "--policy", args.policy, "--scenario", args.scenario,
            "--num_cases", str(args.num_cases), "--batch", str(args.batch),
            "--num_humans", str(args.num_humans),
-           "--ipm_iters", str(iters), *extra]
+           "--ipm_iters", str(iters),
+           "--ipm_early_exit", str(early_exit), *extra]
     if args.privileged:
         cmd.append("--privileged")
     if args.policy == "sicnav_diffusion":
@@ -38,7 +39,7 @@ def run_suite(iters, args, extra=()):
     return json.loads(out.stdout[out.stdout.index("{"):])
 
 
-def measure_latency(iters, args, n_steps=30):
+def measure_latency(iters, args, n_steps=30, early_exit=0.0):
     """Single-episode stepped latency (p50) at this iteration cap."""
     import jax
     import numpy as np
@@ -57,7 +58,8 @@ def measure_latency(iters, args, n_steps=30):
                         robot_nx=8, robot_capsule=True, term_q_coeff=75.0,
                         slack_mode="acados")
     ocp, policy = C.make_policy(env_cfg, mpc_cfg,
-                                settings=ipm.IPMSettings(n_iter=iters))
+                                settings=ipm.IPMSettings(
+                                    n_iter=iters, early_exit_tol=early_exit))
     state = CS.reset_host(env_cfg, case=0)
     carry = C.init_carry(ocp)
     action, carry = policy(state, carry)       # compile
@@ -84,6 +86,10 @@ def main():
     p.add_argument("--batch", type=int, default=25)
     p.add_argument("--privileged", action="store_true")
     p.add_argument("--skip_latency", action="store_true")
+    p.add_argument("--early_exit", nargs="*", type=float, default=[],
+                   help="extra frontier rows: KKT early-exit tolerances "
+                        "swept at the LARGEST --iters cap (adaptive "
+                        "per-instance iteration counts)")
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
@@ -100,6 +106,22 @@ def main():
                "reward": res["mean_total_reward"]}
         if not args.skip_latency and args.policy == "campc":
             row["latency_p50_ms"] = measure_latency(it, args)
+        rows.append(row)
+        print(json.dumps(row), file=sys.stderr)
+    for tol in args.early_exit:
+        cap = max(args.iters)
+        print(f"== early-exit {tol} (cap {cap})", file=sys.stderr)
+        res = run_suite(cap, args, early_exit=tol)
+        row = {"iters": cap, "early_exit_tol": tol,
+               "success": res["success_rate"],
+               "coll_ep": res["collision_episode_rate"],
+               "wall_ep": res["wall_collision_episode_rate"],
+               "frozen_ep": res["frozen_episode_rate"],
+               "nav_time": res["mean_nav_time"],
+               "reward": res["mean_total_reward"]}
+        if not args.skip_latency and args.policy == "campc":
+            row["latency_p50_ms"] = measure_latency(cap, args,
+                                                    early_exit=tol)
         rows.append(row)
         print(json.dumps(row), file=sys.stderr)
     out = json.dumps({"frontier": rows,
