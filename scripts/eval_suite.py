@@ -61,6 +61,9 @@ def main():
     p.add_argument("--wall_margin", type=float, default=0.05,
                    help="flat extra wall clearance (m); 0 restores the r2 "
                         "behavior")
+    p.add_argument("--brake_horizon", type=int, default=0,
+                   help="brake_on_unreal_guess margin window: leading "
+                        "stages checked (0 = full horizon)")
     p.add_argument("--brake_on_unreal_guess",
                    action=argparse.BooleanOptionalAction, default=True,
                    help="cascade tightening: e-brake when the adopted "
@@ -155,7 +158,8 @@ def main():
             mpc_overrides={
                 "stage_margin": args.stage_margin,
                 "wall_margin": args.wall_margin,
-                "brake_on_unreal_guess": args.brake_on_unreal_guess})
+                "brake_on_unreal_guess": args.brake_on_unreal_guess,
+                "brake_horizon": args.brake_horizon})
         if args.noise_std > 0:
             from sicnav_tpu.utils.robustness import (NoiseConfig,
                                                      noisy_policy_stateful)
@@ -180,7 +184,8 @@ def main():
             term_q_coeff=75.0 if args.ral else 100.0,
             slack_mode="acados" if args.ral else "tro",
             stage_margin=args.stage_margin, wall_margin=args.wall_margin,
-            brake_on_unreal_guess=args.brake_on_unreal_guess)
+            brake_on_unreal_guess=args.brake_on_unreal_guess,
+            brake_horizon=args.brake_horizon)
         from sicnav_tpu.mpc import ipm
         ocp, policy = C.make_policy(env_cfg, mpc_cfg,
                                     settings=ipm.IPMSettings(n_iter=args.ipm_iters, soc=args.soc,

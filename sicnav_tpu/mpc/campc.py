@@ -234,6 +234,19 @@ def _select_guess(ocp: OCP, carry: CAMPCCarry, params: MPCParams):
     return jnp.where(jnp.all(jnp.isfinite(z_guess)), z_guess, z_fresh)
 
 
+def exact_plan_margin(ocp: OCP, params: MPCParams, u_rob, horizon: int = 0):
+    """Min human-collision margin of a robot plan replayed against EXACT
+    lower-level human responses (the brake_on_unreal_guess gate).
+    horizon > 0 restricts the check to the first `horizon` stages
+    (imminent contact only); 0 scans the full horizon."""
+    Xr, Xh = WS.exact_human_rollout(ocp, params, u_rob)
+    d = jnp.linalg.norm(Xr[:, None, :2] - Xh[:, :, :2], axis=-1)
+    m = d - (params.hum_coll_radii[None, :] + params.rob_radius)
+    if horizon > 0:
+        m = m[:horizon + 1]
+    return jnp.min(m)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("ocp", "env_cfg", "settings", "debug",
                                     "aux"))
@@ -288,11 +301,8 @@ def campc_action(ocp: OCP, state: SimState, carry: CAMPCCarry,
         u_rob_g, _, _, _ = ocp.unpack(z_guess)
 
         def _guess_margin(_):
-            Xr_g, Xh_g = WS.exact_human_rollout(ocp, params, u_rob_g)
-            d_g = jnp.linalg.norm(Xr_g[:, None, :2] - Xh_g[:, :, :2],
-                                  axis=-1)
-            return jnp.min(d_g - (params.hum_coll_radii[None, :] +
-                                  params.rob_radius))
+            return exact_plan_margin(ocp, params, u_rob_g,
+                                     cfg.brake_horizon)
 
         # the margin only gates the brake when the guess is ADOPTED —
         # lax.cond skips the extra exact rollout on successful solves in

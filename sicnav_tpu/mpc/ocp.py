@@ -125,6 +125,12 @@ class MPCConfig:
     # collision-episodes 10% -> 4% (fused) and 11% -> 4% (plain) on the
     # 100-case suite at unchanged success.
     brake_on_unreal_guess: bool = True
+    # number of leading horizon stages the brake_on_unreal_guess margin is
+    # evaluated over (0 = full horizon). The taxonomy's collision episodes
+    # materialized within a few steps of the negative-margin guess, so a
+    # short prefix keeps the safety while not e-braking for predicted
+    # contact 2+ s out (which costs success as timeout).
+    brake_horizon: int = 0
     # slack penalty family: "tro" = the Opti penalties (campc.py:280-330,
     # 1e9-scale quadratics on 1e-3-scaled slacks); "acados" = the RA-L
     # exporter's per-row L1/L2 penalties (campc_acados_opt.py:363-374,

@@ -541,3 +541,29 @@ def test_ipm_early_exit_matches_full_run():
     zs, infos = jax.vmap(lambda z: ipm.solve(f, ce, ci, z, sv))(z0s)
     np.testing.assert_allclose(np.asarray(zs),
                                np.tile(np.asarray(z_full), (3, 1)), atol=1e-3)
+
+
+def test_brake_horizon_prefix_margin():
+    """exact_plan_margin with horizon>0 ignores late-horizon contact: a plan
+    driving straight at a distant stationary human has negative full-horizon
+    margin but positive imminent-prefix margin."""
+    ocp2 = OCP(MPC)
+    state = CS.reset_host(ENV, case=1)
+    params = campc_mod_build(ocp2, state)
+    # stationary human dead ahead of the robot, ~1.1 m away
+    r = np.asarray(params.x0_rob)
+    ahead = r[:2] + 1.1 * np.array([np.cos(r[2]), np.sin(r[2])])
+    params = params._replace(
+        hums0=params.hums0.at[0, :2].set(jnp.asarray(ahead, jnp.float32))
+        .at[0, 2:4].set(0.0).at[0, 4:6].set(jnp.asarray(ahead, jnp.float32)),
+        v_max_prefs=params.v_max_prefs.at[0].set(1e-3))
+    u_rob = jnp.tile(jnp.array([1.0, 0.0]), (MPC.K, 1))  # full speed ahead
+    m_full = float(C.exact_plan_margin(ocp2, params, u_rob, horizon=0))
+    m_pre = float(C.exact_plan_margin(ocp2, params, u_rob, horizon=2))
+    assert m_full < 0.0          # contact within the full horizon
+    assert m_pre > 0.0           # but not within the first 2 stages
+    assert m_pre > m_full
+
+
+def campc_mod_build(ocp2, state):
+    return C.build_params(ocp2, state, ENV)
