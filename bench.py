@@ -41,16 +41,26 @@ def main():
         states, rews = jax.lax.scan(body, states, None, length=T)
         return states, rews.sum()
 
-    # compile
-    out = roll(states)
-    jax.block_until_ready(out)
-
-    t0 = time.perf_counter()
-    n_rep = 3
-    for _ in range(n_rep):
-        out = roll(states)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / n_rep
+    # MEASUREMENT INTEGRITY: on the tunneled axon platform,
+    # jax.block_until_ready returns WITHOUT waiting for remote execution
+    # (measured: a B=1024 x T=32 roll "completes" in 0.4 ms under
+    # block_until_ready but takes ~110 ms when a scalar is actually
+    # fetched, and repeated calls on identical buffers are deduped
+    # server-side). Every rep therefore (a) chains the output state into
+    # the next call so no rep can be deduped, and (b) fetches the reward
+    # scalar to host inside the timed window, which cannot complete until
+    # the whole scan has executed. The scalar D2H transfer is one tunnel
+    # RTT (~1 ms), amortized over B*T steps.
+    cur, r = roll(states)          # compile + warm
+    float(r)
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        cur, r = roll(cur)
+        float(r)                   # force real execution
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    dt = times[len(times) // 2]
 
     steps_per_sec = B * T / dt
     baseline = 10_000.0

@@ -18,13 +18,21 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _force(out):
+    """Fetch one leaf to host: on the axon platform block_until_ready can
+    return before remote execution completes; a D2H transfer cannot (see
+    bench.py). Identical-input repeat calls can also be deduped
+    server-side, so callers should vary inputs when that matters."""
+    leaf = jax.tree.leaves(out)[0]
+    return np.asarray(leaf)
+
+
 def timeit(fn, *args, reps=20):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    _force(fn(*args))
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        _force(fn(*args))
         ts.append(time.perf_counter() - t0)
     return 1e3 * float(np.median(ts))
 

@@ -68,9 +68,12 @@ def measure_latency(iters, args, n_steps=30, early_exit=0.0):
     for _ in range(n_steps):
         t0 = time.perf_counter()
         action, carry = policy(state, carry)
-        jax.block_until_ready(action)
+        # force the solve to actually execute: on the axon platform
+        # block_until_ready can return before remote completion, while a
+        # host fetch cannot (see bench.py)
+        a_host = np.asarray(action)
         ts.append(time.perf_counter() - t0)
-        state, _, _ = CS.step(state, np.asarray(action), env_cfg)
+        state, _, _ = CS.step(state, a_host, env_cfg)
     return float(np.percentile(ts, 50) * 1000)
 
 
