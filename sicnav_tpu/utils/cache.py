@@ -46,6 +46,14 @@ def _host_fingerprint() -> str:
 def enable_compilation_cache(cache_dir: str = None) -> str:
     global _enabled
     import jax
+    # CPU backends: leave the persistent cache OFF. This jaxlib's XLA:CPU
+    # AOT serialize/deserialize path is unreliable across the build hosts
+    # (observed: segfault in get_executable_and_time loading artifacts
+    # with a foreign ISA feature set, and abort in put_executable_and_time
+    # serializing large MPC executables) — in-process jit caching still
+    # applies; only cross-process reuse is lost.
+    if jax.default_backend() == "cpu":
+        return ""
     base = cache_dir or os.environ.get("SICNAV_TPU_CACHE", _DEFAULT_DIR)
     d = os.path.join(base, f"host-{_host_fingerprint()}")
     if not _enabled:
