@@ -97,10 +97,13 @@ def realtime_settings(num_hums: int, with_mid: bool = False,
         table = {1: 40, 2: 34, 3: 30}
         n = table.get(num_hums, 20)
     else:
-        # 40 iters = 70 ms p50 / 75 ms p95 at 3 humans on one v5e chip;
-        # bottleneck cases that time out at 25 iters succeed at 40
-        table = {1: 48, 2: 44, 3: 40}
-        n = table.get(num_hums, 25)
+        # round-3 iteration frontier (BENCH_EXTRA): closed-loop quality is
+        # FLAT from 10 to 40 iters on the 100-case bottleneck (success
+        # 64-71%, coll-ep 4-6%), with 15 iters the measured sweet spot at
+        # ~70 ms p50 vs ~118 ms at the old 40-iter cap. Keep modest
+        # headroom for smaller crowds (cheaper iterations).
+        table = {1: 24, 2: 20, 3: 15}
+        n = table.get(num_hums, 12)
     return dataclasses.replace(base, n_iter=n)
 
 
