@@ -32,6 +32,10 @@ if __name__ == "__main__":
                       if "xla_force_host_platform_device_count" not in f)
     os.environ["XLA_FLAGS"] = (
         _flags + f" --xla_force_host_platform_device_count={_n}").strip()
+    if "xla_cpu_max_isa" not in os.environ["XLA_FLAGS"]:
+        # ISA cap: this jaxlib targets a newer CPU than some build hosts;
+        # uncapped XLA:CPU codegen intermittently SIGILLs (see conftest)
+        os.environ["XLA_FLAGS"] += " --xla_cpu_max_isa=AVX2"
 
 import jax
 

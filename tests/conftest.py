@@ -13,8 +13,13 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8").strip()
+    xla_flags = (xla_flags + " --xla_force_host_platform_device_count=8")
+if "xla_cpu_max_isa" not in xla_flags:
+    # this jaxlib was built for a newer CPU than some build hosts; without
+    # an ISA cap the XLA:CPU compiler intermittently segfaults compiling
+    # the large MPC programs (illegal instruction in generated code)
+    xla_flags = xla_flags + " --xla_cpu_max_isa=AVX2"
+os.environ["XLA_FLAGS"] = xla_flags.strip()
 
 import jax  # noqa: E402
 
