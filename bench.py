@@ -18,14 +18,23 @@ def main():
     enable_compilation_cache()
     from sicnav_tpu.env.types import EnvConfig
     from sicnav_tpu.env import crowd_sim as CS
-    from sicnav_tpu.policies.dwa import dwa_policy
+    from sicnav_tpu.policies.dwa import DWAConfig, dwa_policy
 
     cfg = EnvConfig(scenario="circle_crossing", human_policy="orca",
                     human_num=5, max_humans=5, starts_moving=0,
                     robot_kinematics="unicycle")
+    # reference-resolution DWA window (v_resolution 0.1 -> ~4 v samples,
+    # ang 0.5 deg/s -> ~60 yaw samples, sicnav/policy/dwa.py:43-44); the
+    # round-3 A/B (BENCH_EXTRA) measured identical closed-loop quality vs
+    # the 8x64 default at half the candidate count
+    dcfg = DWAConfig(max_speed=cfg.robot_v_pref, min_speed=-cfg.robot_v_pref,
+                     robot_radius=cfg.robot_radius, dt=cfg.dt,
+                     n_v=4, n_w=60)
 
     platform = jax.devices()[0].platform
-    B = 1024 if platform == "tpu" else 64
+    # B=4096 saturates one v5e chip (measured: 1024 -> 265k steps/s,
+    # 4096 -> 333k, 16384 -> 234k); T=32 amortizes the host-fetch barrier.
+    B = 4096 if platform == "tpu" else 64
     T = 32
 
     keys = jax.random.split(jax.random.PRNGKey(0), B)
@@ -34,7 +43,7 @@ def main():
     @jax.jit
     def roll(states):
         def body(s, _):
-            action = jax.vmap(lambda st: dwa_policy(st, cfg))(s)
+            action = jax.vmap(lambda st: dwa_policy(st, cfg, dcfg))(s)
             s2, rew, _ = jax.vmap(lambda st, a: CS.step_masked(st, a, cfg))(s, action)
             return s2, rew
 

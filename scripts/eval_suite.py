@@ -41,6 +41,11 @@ def main():
                         "slack penalties (mpc_env_new.py:620-660,971); "
                         "--no-ral selects the T-RO 4-state circle model")
     p.add_argument("--num_cases", type=int, default=500)
+    p.add_argument("--time_limit", type=float, default=15.0,
+                   help="episode time limit in seconds. The T-RO protocol "
+                        "is 15 s (sicnav/configs/env.config:2); the RA-L "
+                        "protocol is 30 s (sicnav_diffusion/configs/"
+                        "env.config:2) — use 30 for --ral rows")
     p.add_argument("--num_humans", type=int, default=3)
     p.add_argument("--scenario", default="circle_crossing")
     p.add_argument("--phase", default="test", choices=["test", "val"])
@@ -92,7 +97,7 @@ def main():
         scenario=args.scenario,
         human_policy="orca" if args.scenario == "circle_crossing" else "orca_plus",
         human_num=args.num_humans, max_humans=args.num_humans,
-        starts_moving=0,
+        starts_moving=0, time_limit=args.time_limit,
         robot_kinematics="holonomic" if args.policy == "orca_plus" else "unicycle")
 
     if args.policy == "dwa":

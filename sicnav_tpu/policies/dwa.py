@@ -94,8 +94,12 @@ def _eval_candidate(x0, v, w, goal, obs_pos, obs_rad, obs_mask,
         active = active & ~reached
         return (state, active, dist), None
 
+    # unroll: the horizon is short (~11) and the body is tiny elementwise
+    # math — unrolling lets XLA fuse across trajectory steps instead of
+    # emitting a serial while-loop per candidate
     (final, _, dist), _ = jax.lax.scan(
-        body, (x0[:3], jnp.array(True), jnp.float32(cfg.max_d)), None, length=T)
+        body, (x0[:3], jnp.array(True), jnp.float32(cfg.max_d)), None,
+        length=T, unroll=True)
 
     dist = jnp.minimum(dist, cfg.max_d)
     # admissibility: enough room to stop (calc_control_and_trajectory:183)
