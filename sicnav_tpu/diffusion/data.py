@@ -139,9 +139,15 @@ def scenes_from_env_rollout(traj_states, human_only=True):
     return pos.transpose(1, 0, 2), mask.T
 
 
+# node-type codes for multi-class sources (process_data.py:413-421: raw
+# files carry PEDESTRIAN / BICYCLE / ROBOT tags; the reference maps ROBOT
+# rows to env.NodeType.JRDB_ROBOT)
+NODE_TYPES = ("PEDESTRIAN", "BICYCLE", "ROBOT")
+
+
 def load_trajectory_file(path, dt=0.4, frame_divisor=10, center=True,
-                         keep_classes=("PEDESTRIAN",)):
-    """Raw trajectory file -> (pos (A, T, 2), valid (A, T)).
+                         keep_classes=("PEDESTRIAN",), return_types=False):
+    """Raw trajectory file -> (pos (A, T, 2), valid (A, T)[, types (A,)]).
 
     Handles the reference's raw formats (process_data.py:300-355):
     - ETH/UCY txt: tab/whitespace ``frame_id  track_id  x  y``
@@ -149,6 +155,12 @@ def load_trajectory_file(path, dt=0.4, frame_divisor=10, center=True,
     - jrdb_bev_hst csv: ``frame_id, track_id, x, y, interpolated``
     frame_ids are divided by ``frame_divisor`` (10 for non-sim sources) and
     positions mean-centered per scene, matching the reference.
+
+    ``keep_classes``: class tags to keep (multi-class parity,
+    process_data.py:413-421) — pass None to keep every class. With
+    ``return_types=True`` also returns the per-track NODE_TYPES index
+    (unknown tags map to PEDESTRIAN, matching the reference's
+    has_class_info=False fallback at :342-343).
     """
     rows = []
     with open(path) as f:
@@ -163,10 +175,15 @@ def load_trajectory_file(path, dt=0.4, frame_divisor=10, center=True,
             track = float(parts[1])
             x, y = float(parts[2]), float(parts[3])
             node_type = parts[4] if len(parts) > 4 else "PEDESTRIAN"
-            if node_type not in keep_classes and \
-                    not node_type.replace(".", "").replace("-", "").isdigit():
+            is_numeric = node_type.replace(".", "").replace("-", "").isdigit()
+            if is_numeric:  # jrdb_bev_hst 'interpolated' column, not a class
+                node_type = "PEDESTRIAN"
+            if keep_classes is not None and not is_numeric and \
+                    node_type not in keep_classes:
                 continue
-            rows.append((int(frame), int(track), x, y))
+            code = NODE_TYPES.index(node_type) if node_type in NODE_TYPES \
+                else 0
+            rows.append((int(frame), int(track), x, y, code))
     raw = np.array(rows, np.float64)
     if frame_divisor and frame_divisor > 1:
         raw[:, 0] = raw[:, 0] // frame_divisor
@@ -180,11 +197,15 @@ def load_trajectory_file(path, dt=0.4, frame_divisor=10, center=True,
     p_idx = {p: i for i, p in enumerate(peds)}
     pos = np.zeros((len(peds), len(frames), 2), np.float32)
     valid = np.zeros((len(peds), len(frames)), bool)
+    types = np.zeros((len(peds),), np.int32)
     for row in raw:
         i = p_idx[int(row[1])]
         j = f_idx[int(row[0])]
         pos[i, j] = row[2:4]
         valid[i, j] = True
+        types[i] = int(row[4])
+    if return_types:
+        return pos, valid, types
     return pos, valid
 
 

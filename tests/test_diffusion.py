@@ -330,3 +330,25 @@ def test_linear_decoder_shape():
     params = dec.init(jax.random.PRNGKey(0), jnp.ones((4, 32)))
     out = dec.apply(params, jnp.ones((4, 32)))
     assert out.shape == (4, 12)
+
+
+def test_load_trajectory_file_multiclass(tmp_path):
+    """Multi-class raw files (process_data.py:326-343,413-421): class tags
+    filter by default, keep_classes=None keeps all with NODE_TYPES codes,
+    and the jrdb_bev_hst numeric 5th column is not a class tag."""
+    f = tmp_path / "jrdb.csv"
+    f.write_text(
+        "frame_id,track_id,pos_x,pos_y,node_type\n"
+        "10,1,0.0,0.0,PEDESTRIAN\n10,2,1.0,1.0,BICYCLE\n10,3,2.0,2.0,ROBOT\n"
+        "20,1,0.1,0.0,PEDESTRIAN\n20,2,1.1,1.0,BICYCLE\n20,3,2.1,2.0,ROBOT\n")
+    pos, valid = D.load_trajectory_file(str(f), center=False)
+    assert pos.shape[0] == 1          # default keeps pedestrians only
+    pos, valid, types = D.load_trajectory_file(
+        str(f), center=False, keep_classes=None, return_types=True)
+    assert pos.shape[0] == 3
+    assert list(types) == [0, 1, 2]   # PEDESTRIAN, BICYCLE, ROBOT
+    assert valid.all()
+    hst = tmp_path / "hst.csv"
+    hst.write_text("10,7,0.0,0.0,1\n20,7,0.5,0.0,0\n")
+    pos, valid = D.load_trajectory_file(str(hst), center=False)
+    assert pos.shape[0] == 1          # interpolated flag != class filter
