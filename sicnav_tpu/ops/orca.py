@@ -39,6 +39,23 @@ RVO_EPSILON = 1e-5
 _BIG = 1e9
 
 
+def _lp_unroll(L: int, cap: int) -> int:
+    """Unroll factor for the incremental-LP fori_loops.
+
+    Unrolling lets XLA fuse across lines instead of emitting serial
+    while-loops (~1.5x on the vmapped env-step benchmark on TPU), but the
+    XLA:CPU backend segfaults compiling the resulting giant bodies when
+    the LPs are further nested under vmap+scan (observed: LLVM crash
+    compiling `warmstart_horizon` eagerly on CPU hosts). Unroll on
+    accelerators only; CPU keeps the rolled loop.
+    """
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        backend = "cpu"
+    return min(L, cap) if backend != "cpu" else 1
+
+
 class OrcaParams(NamedTuple):
     """ORCA behavioral parameters (defaults = reference ORCA policy defaults,
     crowd_sim_plus/envs/policy/orca.py:58-66)."""
@@ -369,12 +386,8 @@ def _lp2(points, dirs, valid, radius, opt_vel, direction_opt):
         fail = jnp.where(do & ~ok, i, fail)
         return result, fail
 
-    # TPU: the line count is small and static — unrolling the incremental
-    # LP lets XLA fuse across iterations instead of emitting a serial
-    # while-loop (measured ~1.5x on the vmapped env-step benchmark); cap
-    # the unroll so large MPC line sets don't blow up program size.
     return jax.lax.fori_loop(0, L, body, (result0, jnp.int32(-1)),
-                             unroll=min(L, 8))
+                             unroll=_lp_unroll(L, 8))
 
 
 def _lp3(points, dirs, valid, is_obst, begin_line, radius, result):
@@ -421,7 +434,7 @@ def _lp3(points, dirs, valid, is_obst, begin_line, radius, result):
 
     result, _ = jax.lax.fori_loop(0, L, body,
                                   (result, jnp.array(0.0, result.dtype)),
-                                  unroll=min(L, 4))
+                                  unroll=_lp_unroll(L, 4))
     return result
 
 
