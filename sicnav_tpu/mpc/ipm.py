@@ -92,10 +92,13 @@ def realtime_settings(num_hums: int, with_mid: bool = False,
     if base is None:
         base = IPMSettings()
     if with_mid:
-        # fused step measured 76 ms p50 at 30 iters with a 128-dim JMID
-        # (3 humans, one v5e chip) — inside the 100 ms budget
-        table = {1: 40, 2: 34, 3: 30}
-        n = table.get(num_hums, 20)
+        # round-3 fused iteration A/B (BENCH_EXTRA): 100-case bottleneck
+        # quality is flat 15/20/30 iters (success 66/70/68%, coll-ep
+        # 4/6/3.6%) — same flatness as the no-MID frontier. 15 iters cuts
+        # the fused execution ~30 ms, the margin that brings the streaming
+        # 10 Hz replay loop inside its deadline.
+        table = {1: 24, 2: 20, 3: 15}
+        n = table.get(num_hums, 12)
     else:
         # round-3 iteration frontier (BENCH_EXTRA): closed-loop quality is
         # FLAT from 10 to 40 iters on the 100-case bottleneck (success

@@ -124,6 +124,9 @@ class StreamingController:
         self._prev_cmd = np.zeros(2)
         self._have_prev = False
         self._step_idx = 0
+        self._pack_layout = None
+        self._unpack = None
+        self._packed_step = None
 
     # -- intake -----------------------------------------------------------
 
@@ -195,16 +198,59 @@ class StreamingController:
             count=np.full(H, cnt, np.int32))
         return state, fstate
 
+    def _pack(self, state, fstate):
+        """Flatten (SimState, ForecasterState) into ONE host float32 vector.
+
+        Remote/tunneled TPU runtimes pay a per-buffer RPC on every
+        host->device transfer; shipping the ~35-leaf observation pytree
+        leaf-by-leaf costs 45-80 ms per tick (measured, one v5e via axon).
+        One packed buffer makes it a single transfer; the jitted unpack
+        below (slices + casts) fuses into the control-step program."""
+        import jax.numpy as jnp
+        leaves, treedef = jax.tree.flatten((state, fstate))
+        if self._pack_layout is None:
+            shapes = [np.shape(l) for l in leaves]
+            dtypes = [np.asarray(l).dtype for l in leaves]
+            sizes = [int(np.prod(s)) if s else 1 for s in shapes]
+            offs = np.concatenate([[0], np.cumsum(sizes)]).tolist()
+            self._pack_layout = (treedef, shapes, dtypes, sizes, offs)
+
+            def unpack(flat):
+                out = []
+                for sh, dt, sz, o in zip(shapes, dtypes, sizes, offs[:-1]):
+                    piece = flat[o:o + sz]
+                    piece = piece.reshape(sh) if sh else piece[0]
+                    out.append(piece.astype(dt))
+                return jax.tree.unflatten(treedef, out)
+
+            self._unpack = unpack
+        _, shapes, dtypes, sizes, offs = self._pack_layout
+        flat = np.empty((offs[-1],), np.float32)
+        for l, sz, o in zip(leaves, sizes, offs[:-1]):
+            flat[o:o + sz] = np.asarray(l, np.float64).ravel()
+        return jnp.asarray(flat)
+
     def select_action(self):
         """One streaming control step. Returns (v, omega, diag)."""
         t0 = time.perf_counter()
         state, fstate = self._build_state()
-        # history comes from the resample, not the carry ring: replace it
-        carry = self.carry._replace(forecaster=fstate)
-        action, carry = self.SD.sicnav_diffusion_action(
-            self.ocp, self._model, self._params,
-            jax.tree.map(jax.numpy.asarray, state), carry,
-            self.env_cfg, self.fcfg, self._settings)
+        flat = self._pack(state, fstate)
+
+        if self._packed_step is None:
+            import functools
+
+            @functools.partial(jax.jit, static_argnames=("settings",))
+            def _packed_step(flat, carry, params, settings):
+                st, fs = self._unpack(flat)
+                # history comes from the resample, not the carry ring
+                c = carry._replace(forecaster=fs)
+                return self.SD.sicnav_diffusion_action(
+                    self.ocp, self._model, params, st, c,
+                    self.env_cfg, self.fcfg, settings)
+
+            self._packed_step = _packed_step
+        action, carry = self._packed_step(flat, self.carry, self._params,
+                                          self._settings)
         action = np.asarray(jax.block_until_ready(action))
         self.carry = carry
         self._prev_cmd = action
