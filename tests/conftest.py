@@ -31,3 +31,21 @@ def pytest_configure(config):
     # time on first run and are fully cached afterwards
     from sicnav_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_jit_state_per_module():
+    """Free compiled executables between test modules.
+
+    The suite compiles hundreds of XLA:CPU programs in one process; with
+    ~77 tests' worth of live LLVM-JIT state accumulated, compiling the
+    large MPC warmstart scan segfaults inside backend_compile_and_load
+    (reproduced twice at the same test; the identical compile succeeds in
+    a fresh process). Dropping executable references at module boundaries
+    keeps the JIT arena bounded. Costs only cross-module recompiles.
+    """
+    yield
+    jax.clear_caches()
