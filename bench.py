@@ -47,7 +47,12 @@ def main():
             s2, rew, _ = jax.vmap(lambda st, a: CS.step_masked(st, a, cfg))(s, action)
             return s2, rew
 
-        states, rews = jax.lax.scan(body, states, None, length=T)
+        # unroll the T-step roll on accelerators: fewer while-loop trips
+        # lets XLA overlap/fuse across steps (+14% measured on one v5e:
+        # 392k -> 448k steps/s; CPU keeps the rolled loop — giant unrolled
+        # bodies are the XLA:CPU segfault class, see ops/orca._lp_unroll)
+        states, rews = jax.lax.scan(body, states, None, length=T,
+                                    unroll=8 if platform == "tpu" else 1)
         return states, rews.sum()
 
     # MEASUREMENT INTEGRITY: on the tunneled axon platform,

@@ -81,7 +81,8 @@ def main():
     p.add_argument("--ral", action=argparse.BooleanOptionalAction,
                    default=True)
     p.add_argument("--stage_margin", type=float, default=0.0)
-    p.add_argument("--wall_margin", type=float, default=0.05)
+    p.add_argument("--wall_margin", type=float, default=None,
+                   help="default: model-conditional (0.10 capsule/RA-L, 0.05 circle)")
     p.add_argument("--brake_on_unreal_guess",
                    action=argparse.BooleanOptionalAction, default=None,
                    help="override MPCConfig.brake_on_unreal_guess")
@@ -109,7 +110,11 @@ def main():
         robot_nx=8 if args.ral else 4, robot_capsule=args.ral,
         term_q_coeff=75.0 if args.ral else 100.0,
         slack_mode="acados" if args.ral else "tro",
-        stage_margin=args.stage_margin, wall_margin=args.wall_margin)
+        stage_margin=args.stage_margin,
+        # plain-CAMPC diagnostic: 0.05 in both robot models (the capsule
+        # 0.10 benefit is fused-only; see eval_suite.py)
+        wall_margin=(args.wall_margin if args.wall_margin is not None
+                     else 0.05))
     if args.brake_on_unreal_guess is not None:
         mpc_kw["brake_on_unreal_guess"] = args.brake_on_unreal_guess
     settings = ipm.IPMSettings(n_iter=args.ipm_iters, soc=args.soc)

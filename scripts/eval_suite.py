@@ -63,9 +63,10 @@ def main():
     # match MPCConfig — brake + wall margin ON)
     p.add_argument("--stage_margin", type=float, default=0.0,
                    help="per-stage human-collision margin growth (m/stage)")
-    p.add_argument("--wall_margin", type=float, default=0.05,
+    p.add_argument("--wall_margin", type=float, default=None,
                    help="flat extra wall clearance (m); 0 restores the r2 "
-                        "behavior")
+                        "behavior. Default: the model-conditional value "
+                        "(0.10 capsule/RA-L, 0.05 circle)")
     p.add_argument("--brake_horizon", type=int, default=0,
                    help="brake_on_unreal_guess margin window: leading "
                         "stages checked (0 = full horizon)")
@@ -162,9 +163,10 @@ def main():
             close_to_preds=not args.no_close_to_preds, ral=args.ral,
             mpc_overrides={
                 "stage_margin": args.stage_margin,
-                "wall_margin": args.wall_margin,
                 "brake_on_unreal_guess": args.brake_on_unreal_guess,
-                "brake_horizon": args.brake_horizon})
+                "brake_horizon": args.brake_horizon,
+                **({"wall_margin": args.wall_margin}
+                   if args.wall_margin is not None else {})})
         if args.noise_std > 0:
             from sicnav_tpu.utils.robustness import (NoiseConfig,
                                                      noisy_policy_stateful)
@@ -188,7 +190,13 @@ def main():
             robot_nx=8 if args.ral else 4, robot_capsule=args.ral,
             term_q_coeff=75.0 if args.ral else 100.0,
             slack_mode="acados" if args.ral else "tro",
-            stage_margin=args.stage_margin, wall_margin=args.wall_margin,
+            stage_margin=args.stage_margin,
+            # plain CAMPC keeps 0.05 in both robot models: the margin grid
+            # measured the capsule benefit only for the FUSED controller
+            # (plain RA-L 100-case A/B is a wash: wm05 60/10/17 vs wm10
+            # 61/9/21), and the published plain rows were produced at 0.05
+            wall_margin=(args.wall_margin if args.wall_margin is not None
+                         else 0.05),
             brake_on_unreal_guess=args.brake_on_unreal_guess,
             brake_horizon=args.brake_horizon)
         from sicnav_tpu.mpc import ipm

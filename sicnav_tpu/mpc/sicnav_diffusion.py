@@ -148,7 +148,13 @@ def make_policy(env_cfg: EnvConfig, model: JMIDModel, mid_params,
                             # RA-L terminal weight (policy.config:89) and
                             # the Acados exporter's L1/L2 slack penalties
                             term_q_coeff=75.0 if ral else 100.0,
-                            slack_mode="acados" if ral else "tro")
+                            slack_mode="acados" if ral else "tro",
+                            # capsule-conditional wall clearance (round-3
+                            # margin grid, BENCH_EXTRA): +0.05 m helps the
+                            # capsule robot on every axis (500-case: succ
+                            # 68.4->70.6%, wall-ep 16->13%) but HURTS the
+                            # 4-state circle (100-case: succ -12 pts)
+                            wall_margin=0.10 if ral else 0.05)
     if mpc_overrides:
         import dataclasses
         mpc_cfg = dataclasses.replace(mpc_cfg, **mpc_overrides)
