@@ -24,9 +24,12 @@ import json
 import os
 import sys
 
+sys.path.insert(0, os.path.dirname(__file__))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
+
+import audit_common
 
 
 def classify_episode(tr, b, kind_steps):
@@ -66,120 +69,17 @@ def main():
     from sicnav_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
     p = argparse.ArgumentParser()
-    p.add_argument("--policy", default="campc",
-                   choices=["campc", "campc_cvmm", "sicnav_diffusion"])
-    p.add_argument("--checkpoint", default=None)
-    p.add_argument("--scenario", default="hallway_bottleneck")
-    p.add_argument("--num_cases", type=int, default=100)
-    p.add_argument("--num_humans", type=int, default=3)
-    p.add_argument("--batch", type=int, default=25)
-    p.add_argument("--phase", default="test")
-    p.add_argument("--ipm_iters", type=int, default=30)
-    p.add_argument("--soc", action="store_true",
-                   help="IPM second-order correction steps")
-    p.add_argument("--privileged", action="store_true")
-    p.add_argument("--ral", action=argparse.BooleanOptionalAction,
-                   default=True)
-    p.add_argument("--stage_margin", type=float, default=0.0)
-    p.add_argument("--wall_margin", type=float, default=None,
-                   help="default: model-conditional (0.10 capsule/RA-L, 0.05 circle)")
-    p.add_argument("--brake_on_unreal_guess",
-                   action=argparse.BooleanOptionalAction, default=None,
-                   help="override MPCConfig.brake_on_unreal_guess")
+    audit_common.add_policy_args(p)
     p.add_argument("--out", default=None, help="write full JSON here")
     args = p.parse_args()
-
-    import jax
-    import jax.numpy as jnp
-    from sicnav_tpu.env.types import EnvConfig
-    from sicnav_tpu.env import crowd_sim, rollout
-    from sicnav_tpu.mpc.ocp import MPCConfig
-    from sicnav_tpu.mpc import campc as C, ipm
-
-    env_cfg = EnvConfig(
-        scenario=args.scenario,
-        human_policy="orca" if args.scenario == "circle_crossing" else "orca_plus",
-        human_num=args.num_humans, max_humans=args.num_humans,
-        starts_moving=0, robot_kinematics="unicycle")
-
-    mpc_kw = dict(
-        num_hums=env_cfg.max_humans, num_walls=env_cfg.wall_slots,
-        dt=env_cfg.dt,
-        hum_model="cvmm" if args.policy == "campc_cvmm" else "orca_casadi_kkt",
-        priviledged_info=args.privileged,
-        robot_nx=8 if args.ral else 4, robot_capsule=args.ral,
-        term_q_coeff=75.0 if args.ral else 100.0,
-        slack_mode="acados" if args.ral else "tro",
-        stage_margin=args.stage_margin,
+    if args.wall_margin is None and args.policy != "sicnav_diffusion":
         # plain-CAMPC diagnostic: 0.05 in both robot models (the capsule
         # 0.10 benefit is fused-only; see eval_suite.py)
-        wall_margin=(args.wall_margin if args.wall_margin is not None
-                     else 0.05))
-    if args.brake_on_unreal_guess is not None:
-        mpc_kw["brake_on_unreal_guess"] = args.brake_on_unreal_guess
-    settings = ipm.IPMSettings(n_iter=args.ipm_iters, soc=args.soc)
+        args.wall_margin = 0.05
 
-    if args.policy == "sicnav_diffusion":
-        from sicnav_tpu.diffusion.models import ModelConfig
-        from sicnav_tpu.diffusion.mid import JMIDModel, load_checkpoint
-        from sicnav_tpu.diffusion import forecaster as FC
-        from sicnav_tpu.mpc import sicnav_diffusion as SD
-        model = JMIDModel(ModelConfig(context_dim=128, tf_layer=2),
-                          joint=True)
-        fcfg = FC.ForecasterConfig(num_samples=48, num_ret_samples=10,
-                                   dt=env_cfg.dt)
-        state0 = crowd_sim.reset_host(env_cfg, case=0)
-        fstate = FC.init_state(env_cfg.max_humans, fcfg)
-        batch0 = FC._scene_batch_from_hist(fstate, state0, fcfg)
-        key = jax.random.PRNGKey(0)
-        params = model.init({"params": key, "dropout": key}, batch0, key)
-        if args.checkpoint:
-            params = load_checkpoint(os.path.abspath(args.checkpoint), params)
-        mpc_kw.update(priviledged_info=True,
-                      close_to_preds=True,
-                      num_mid_samples=fcfg.num_ret_samples)
-        mpc_cfg = MPCConfig(**mpc_kw)
-        from sicnav_tpu.mpc.ocp import OCP
-        ocp = OCP(mpc_cfg)
-
-        def step_fn(s, c):
-            return SD.sicnav_diffusion_action(
-                ocp, model, params, s, c, env_cfg, fcfg, settings, aux=True)
-
-        def init_carry():
-            return SD.init_carry(ocp, env_cfg.max_humans, fcfg)
-    else:
-        mpc_cfg = MPCConfig(**mpc_kw)
-        from sicnav_tpu.mpc.ocp import OCP
-        ocp = OCP(mpc_cfg)
-
-        def step_fn(s, c):
-            return C.campc_action(ocp, s, c, env_cfg, settings, aux=True)
-
-        def init_carry():
-            return C.init_carry(ocp)
-
-    max_steps = int(env_cfg.time_limit / env_cfg.dt) + 2
-    all_stats, all_traces = [], []
-    for start in range(0, args.num_cases, args.batch):
-        cases = list(range(start, min(start + args.batch, args.num_cases)))
-        states = [crowd_sim.reset_host(env_cfg, c, args.phase) for c in cases]
-        bs = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
-        carries = jax.tree.map(lambda *xs: jnp.stack(xs),
-                               *[init_carry() for _ in cases])
-        _, stats, trace = jax.vmap(lambda s, c: rollout.rollout_episode_traced(
-            s, c, step_fn, env_cfg, max_steps))(bs, carries)
-        to_np = lambda t: jax.tree.map(np.asarray, t)
-        all_stats.append(to_np(stats))
-        # vmap puts the episode batch axis first: leaves are (B, T, ...)
-        all_traces.append(to_np(trace))
-
-    stats = jax.tree.map(lambda *xs: np.concatenate(xs), *all_stats)
-    trace = jax.tree.map(lambda *xs: np.concatenate(xs), *all_traces)
-    tr = {"dmin": trace.dmin, "collision": trace.collision,
-          "wall_collision": trace.wall_collision, "frozen": trace.frozen,
-          "live": trace.live,
-          "aux": {f: getattr(trace.aux, f) for f in trace.aux._fields}}
+    env_cfg, step_fn, init_carry, max_steps = audit_common.build(args)
+    stats, tr = audit_common.run_traced_suite(
+        args, env_cfg, step_fn, init_carry, max_steps)
 
     from sicnav_tpu import harness
     report = {"summary": harness.summarize(stats, env_cfg),

@@ -144,6 +144,7 @@ class StepTrace(NamedTuple):
     frozen: jnp.ndarray
     dmin: jnp.ndarray
     r_pos: jnp.ndarray          # (2,)
+    h_pos: jnp.ndarray          # (H, 2) — for queue/jam audits
     action: jnp.ndarray         # (2,)
     aux: object                 # policy aux pytree
 
@@ -179,7 +180,8 @@ def rollout_episode_traced(state: SimState, carry0, step_fn: Callable,
         tr = StepTrace(live=live, collision=live & info.collision,
                        wall_collision=live & info.wall_collision,
                        frozen=live & info.frozen, dmin=info.dmin,
-                       r_pos=state.r_pos, action=action, aux=aux)
+                       r_pos=state.r_pos, h_pos=state.h_pos, action=action,
+                       aux=aux)
         return (new_state, pcarry, stats), tr
 
     init_stats = EpisodeStats(
