@@ -19,6 +19,9 @@ def add_policy_args(p: argparse.ArgumentParser):
     p.add_argument("--num_humans", type=int, default=3)
     p.add_argument("--batch", type=int, default=25)
     p.add_argument("--phase", default="test")
+    p.add_argument("--time_limit", type=float, default=None,
+                   help="episode time limit in s (default: env default 15; "
+                        "the RA-L definitive-suite protocol uses 30)")
     p.add_argument("--ipm_iters", type=int, default=30)
     p.add_argument("--soc", action="store_true",
                    help="IPM second-order correction steps")
@@ -61,11 +64,14 @@ def build(args):
     from sicnav_tpu.mpc.ocp import MPCConfig, OCP
     from sicnav_tpu.mpc import campc as C, ipm
 
+    env_kw = {}
+    if getattr(args, "time_limit", None):
+        env_kw["time_limit"] = args.time_limit
     env_cfg = EnvConfig(
         scenario=args.scenario,
         human_policy="orca" if args.scenario == "circle_crossing" else "orca_plus",
         human_num=args.num_humans, max_humans=args.num_humans,
-        starts_moving=0, robot_kinematics="unicycle")
+        starts_moving=0, robot_kinematics="unicycle", **env_kw)
 
     fused = args.policy == "sicnav_diffusion"
     if args.wall_margin is not None:

@@ -44,6 +44,10 @@ class CAMPCCarry(NamedTuple):
     num_prev_used: jnp.ndarray  # int32
     pred_rob: jnp.ndarray       # (3,)
     pred_hums: jnp.ndarray      # (H, 2)
+    door_stall: jnp.ndarray     # int32 — consecutive stalled-near-door steps
+                                # (cfg.door_yield trigger counter)
+    door_latch: jnp.ndarray     # bool — yield mode latched until the door
+                                # mouth clears of transiting humans
 
 
 class CAMPCAux(NamedTuple):
@@ -69,11 +73,122 @@ def init_carry(ocp: OCP) -> CAMPCCarry:
                       prev_ok=jnp.array(False),
                       num_prev_used=jnp.int32(0),
                       pred_rob=jnp.zeros((3,), jnp.float32),
-                      pred_hums=jnp.zeros((ocp.cfg.num_hums, 2), jnp.float32))
+                      pred_hums=jnp.zeros((ocp.cfg.num_hums, 2), jnp.float32),
+                      door_stall=jnp.int32(0),
+                      door_latch=jnp.array(False))
+
+
+# door-yield geometry (cfg.door_yield): tuned to the bottleneck layout
+# (door width 1.0 at y=0 spanning x in [-0.5, 0.5], hallway walls at
+# x = +-1.0, robot/human radii 0.3)
+_YIELD_R_OCC = 0.55       # "in the mouth" disc radius around the door center
+_YIELD_PASS_BAND = 0.35   # robot further through than this => committed
+_YIELD_POCKET_X = 0.58    # waiting-pocket lateral offset: hugs the side wall
+#                           (wall constraint keeps the center within ~0.60),
+#                           OUTSIDE the door's x-span so the robot does not
+#                           sit in the outflow lane it is yielding to
+_YIELD_POCKET_BACK = 0.90  # waiting-pocket setback from the door line
+_YIELD_TRANSIT_D = 0.30   # goal-estimate displacement that marks "moving"
+_YIELD_NEAR_D = 1.20      # stall counting radius around the door center
+_YIELD_STALL_V = 0.05     # executed speed below this counts as stalled
+_YIELD_HOLD_MAX = 16      # latch timeout (4 s): a yield that has not let the
+#                           mouth clear by then is a human-human jam the wait
+#                           cannot fix — release and push through instead
+_YIELD_COOLDOWN = 12      # post-timeout assert window (3 s) with the yield
+#                           trigger suppressed, so the protocol alternates
+#                           yield/assert instead of deadlocking in either mode
+
+
+def door_yield_update(state: SimState, h_goal_est, cfg: MPCConfig,
+                      door_stall, door_latch):
+    """Direction-filtered latched door yielding (cfg.door_yield).
+
+    Round-3 timeout audit: all 32/32 fused-RA-L bottleneck timeouts were
+    door-mouth standoffs — the robot wedges at the gap edge, its presence
+    freezes the oncoming humans' ORCA LPs, and the slack-penalty optimum
+    of the 1 s horizon is to wait out the clock. Iteration history on the
+    100-case suite: an ALWAYS-ON depth-priority yield fixed 11/32 of
+    those but broke 29 flowing episodes (success 68% -> 50%) — it also
+    retreated from SAME-direction traffic it should simply follow through
+    the door; a stall-only trigger fixed just 3 (jams do not dissolve
+    once formed). Hence this version: a human gets door priority only if
+    it is TRANSITING (its intent estimate says it is moving — humans
+    parked at a final goal in the mouth are pushed past) AND ONCOMING
+    (its intent displacement opposes the robot's crossing direction),
+    gated on cfg.door_yield_stall consecutive stalled-near-door steps
+    (0 = pre-emptive). Once triggered it LATCHES: the reference goal
+    stays at a waiting pocket set back from the door against the side
+    wall (outside the outflow lane) until the mouth clears of oncoming
+    transiting humans — but only up to _YIELD_HOLD_MAX steps: the trace
+    audit of the latch-forever variant showed robots parked in the
+    pocket from t~3 s to the time limit while the "oncoming" humans
+    jammed among themselves and never cleared. A timed-out yield
+    releases into a _YIELD_COOLDOWN assert window (trigger suppressed),
+    so the robot alternates yield/assert instead of deadlocking in
+    either mode. The carry's door_stall counter is dual-purpose:
+    unlatched >=0 counts consecutive stalled steps, unlatched <0 counts
+    up through the cooldown, latched it counts hold duration. Returns
+    (use_pocket, pocket, stall', latch'). Pure behavior deviation from
+    the reference (no analog in campc.get_int_goal); config-gated so the
+    published plain baselines are unchanged."""
+    door = state.door
+    center = jnp.stack([door.x_mid, 0.5 * (door.y_min + door.y_max)])
+    r_dir = jnp.where(state.r_goal[1] >= state.r_pos[1], 1.0, -1.0)
+    # engaged whenever the robot's remaining path crosses the door band
+    # (NOT gated on the intermediate goal being active: that switch turns
+    # off within door_width/2 of the center — exactly the standoff region)
+    ys_min = jnp.minimum(state.r_pos[1], state.r_goal[1])
+    ys_max = jnp.maximum(state.r_pos[1], state.r_goal[1])
+    crosses = (ys_min < door.y_mid_min) & (ys_max > door.y_mid_max)
+    not_through = (state.r_pos[1] - center[1]) * r_dir < _YIELD_PASS_BAND
+    engaged = door.has_door & crosses & not_through
+    robot_d = norm2(state.r_pos - center)
+
+    h = slice(0, cfg.num_hums)
+    h_goal_est = h_goal_est[h]
+    h_d = jnp.linalg.norm(state.h_pos[h] - center[None], axis=-1)
+    disp = h_goal_est - state.h_pos[h]
+    # oncoming = intent opposes the robot's crossing direction; followers
+    # (same-direction transit) never get priority — the robot tails them
+    oncoming = disp[:, 1] * r_dir < 0.0
+    transiting = (state.h_mask[h] & (h_d < _YIELD_R_OCC) & oncoming &
+                  (jnp.linalg.norm(disp, axis=-1) > _YIELD_TRANSIT_D))
+    deeper = transiting & (h_d < robot_d)
+
+    stalled_now = (engaged & (robot_d < _YIELD_NEAR_D) &
+                   (norm2(state.r_vel) < _YIELD_STALL_V))
+    # unlatched: counter < 0 is the post-timeout cooldown (counts up to 0,
+    # trigger suppressed); >= 0 counts consecutive stalled steps
+    cnt_unl = jnp.where(door_stall < 0, door_stall + 1,
+                        jnp.where(stalled_now, door_stall + 1, jnp.int32(0)))
+    trigger = (engaged & (cnt_unl >= 0) &
+               (cnt_unl >= cfg.door_yield_stall) & jnp.any(deeper))
+    # latched: hold while an oncoming transiting human occupies the mouth,
+    # up to the timeout
+    cnt_lat = door_stall + 1
+    timed_out = cnt_lat >= _YIELD_HOLD_MAX
+    stay = engaged & jnp.any(transiting) & ~timed_out
+    latch_new = jnp.where(door_latch, stay, trigger)
+    stall_new = jnp.where(
+        door_latch,
+        jnp.where(stay, cnt_lat,
+                  jnp.where(timed_out, jnp.int32(-_YIELD_COOLDOWN),
+                            jnp.int32(0))),
+        jnp.where(trigger, jnp.int32(0), cnt_unl))
+    use_pocket = latch_new
+
+    # pocket on the side away from the blocking traffic's lateral mean
+    blockers = jnp.where(jnp.any(deeper), deeper, transiting)
+    wx = jnp.sum(jnp.where(blockers, state.h_pos[h][:, 0] - door.x_mid, 0.0))
+    side = jnp.where(wx >= 0.0, -1.0, 1.0)
+    pocket = jnp.stack([door.x_mid + side * _YIELD_POCKET_X,
+                        center[1] - r_dir * _YIELD_POCKET_BACK])
+    return use_pocket, pocket, stall_new, latch_new
 
 
 def build_params(ocp: OCP, state: SimState, env_cfg: EnvConfig,
-                 mid_samples=None, mid_logw0=None) -> MPCParams:
+                 mid_samples=None, mid_logw0=None,
+                 goal_override=None) -> MPCParams:
     """SimState -> MPCParams, applying the privileged / unprivileged model
     view (campc.predict:1285-1330): unprivileged replaces human goals with a
     2 s constant-velocity projection and v_pref with the configured bound.
@@ -116,6 +231,11 @@ def build_params(ocp: OCP, state: SimState, env_cfg: EnvConfig,
     # robot intermediate goal through hallway doors (campc.get_int_goal)
     goal = intermediate_goals(state.r_pos[None], state.r_goal[None],
                               state.door)[0]
+    if goal_override is not None:
+        # door-yield waiting pocket (campc_action computes the latched
+        # stall-triggered protocol; see door_yield_update)
+        use_pocket, pocket = goal_override
+        goal = jnp.where(use_pocket, pocket, goal)
 
     if cfg.ref_type == "point_stab":
         # rolled rotate/cruise/arrive reference regenerated each control
@@ -254,14 +374,30 @@ def campc_action(ocp: OCP, state: SimState, carry: CAMPCCarry,
                  env_cfg: EnvConfig,
                  settings: ipm.IPMSettings = ipm.IPMSettings(),
                  mid_samples=None, mid_logw0=None, debug: bool = False,
-                 aux: bool = False):
+                 aux: bool = False, h_intent=None):
     """One CAMPC control step. Returns (action (2,) = (v, r=om*dt), carry');
     with ``debug=True`` also a ``introspection.SolveDebug`` pytree (the
     reference's per-solve debug_material, campc.py:861-979); with
     ``aux=True`` instead a light ``CAMPCAux`` scalar pytree for rollout
     tracing."""
     cfg = ocp.cfg
-    params = build_params(ocp, state, env_cfg, mid_samples, mid_logw0)
+    if cfg.door_yield:
+        # intent estimate for the transit-vs-parked test: callers with a
+        # better signal pass h_intent (the fused controller passes the raw
+        # observed h_goal — its mpc_view h_goal is the t+1 forecast, whose
+        # one-step displacement is ~0 for door-BLOCKED humans, misreading
+        # them as parked); default = the privilege-respecting goal model
+        if h_intent is None:
+            h_intent = (state.h_goal if cfg.priviledged_info
+                        else state.h_pos + state.h_vel * 2.0)
+        use_pocket, pocket, door_stall, door_latch = door_yield_update(
+            state, h_intent, cfg, carry.door_stall, carry.door_latch)
+        goal_override = (use_pocket, pocket)
+    else:
+        door_stall, door_latch = carry.door_stall, carry.door_latch
+        goal_override = None
+    params = build_params(ocp, state, env_cfg, mid_samples, mid_logw0,
+                          goal_override=goal_override)
     z_guess = _select_guess(ocp, carry, params)
 
     f_fn = lambda z: ocp.cost(z, params)
@@ -326,7 +462,8 @@ def campc_action(ocp: OCP, state: SimState, carry: CAMPCCarry,
         num_prev_used=jnp.where(use_guess, carry.num_prev_used + 1,
                                 jnp.int32(0)),
         pred_rob=_rob_pose(ocp, Xr_used[1]),
-        pred_hums=Xh_used[1][:, :2])
+        pred_hums=Xh_used[1][:, :2],
+        door_stall=door_stall, door_latch=door_latch)
     if aux:
         _, _, _, slacks_used = ocp.unpack(z_used)
         # exact-rollout margin of the ADOPTED plan (may be the guess)

@@ -131,6 +131,24 @@ class MPCConfig:
     # short prefix keeps the safety while not e-braking for predicted
     # contact 2+ s out (which costs success as timeout).
     brake_horizon: int = 0
+    # door-yield protocol (round-3 timeout audit): every bottleneck timeout
+    # is a door-mouth standoff — the robot wedges at the gap, its presence
+    # freezes the oncoming ORCA humans' velocity LPs, and the slack-penalty
+    # optimum of the 1 s horizon is to wait out the clock. When enabled, a
+    # direction-filtered latched rule adjusts the robot's INTERMEDIATE
+    # goal: if an ONCOMING transiting human (one whose intent estimate
+    # says it is moving against the robot's crossing direction) is deeper
+    # into the door mouth than the robot, the robot's reference goal
+    # becomes a waiting pocket off the door lane until the mouth clears;
+    # same-direction traffic is followed, and humans parked at their final
+    # goal get no priority (yielding to them would wait forever). Pure
+    # deviation from the reference (no analog in campc.get_int_goal);
+    # config-gated so the published plain baselines are unchanged.
+    door_yield: bool = False
+    # consecutive stalled-near-door steps before the yield triggers:
+    # 0 = pre-emptive (yield as soon as oncoming traffic is deeper in the
+    # mouth); N>0 = only after the robot has actually been wedged N steps
+    door_yield_stall: int = 0
     # slack penalty family: "tro" = the Opti penalties (campc.py:280-330,
     # 1e9-scale quadratics on 1e-3-scaled slacks); "acados" = the RA-L
     # exporter's per-row L1/L2 penalties (campc_acados_opt.py:363-374,

@@ -87,23 +87,31 @@ def sicnav_diffusion_action(ocp: OCP, model: JMIDModel, mid_params,
     mid_samples = fc[:, :, :K + 2]
     mid_logw0 = log_w[0]                              # joint weights
 
-    # feed the MPC a state whose human goals come from the forecaster
+    # feed the MPC a state whose human goals come from the forecaster;
+    # the door-yield transit test keeps the RAW observed h_goal (the same
+    # observable interface the reference policy receives,
+    # sicnav_acados.predict:1629-1680): the t+1 forecast goal moves ~0 for
+    # a door-BLOCKED human, which would misread it as parked
     mpc_view = state._replace(h_goal=goals)
+    h_intent = state.h_goal if ocp.cfg.door_yield else None
     if aux:
         action, mpc_carry, step_aux = C.campc_action(
             ocp, mpc_view, carry.mpc, env_cfg, settings,
-            mid_samples=mid_samples, mid_logw0=mid_logw0, aux=True)
+            mid_samples=mid_samples, mid_logw0=mid_logw0, aux=True,
+            h_intent=h_intent)
         return action, SICNavDiffCarry(mpc=mpc_carry, forecaster=fstate,
                                        key=key), step_aux
     if debug:
         action, mpc_carry, dbg = C.campc_action(
             ocp, mpc_view, carry.mpc, env_cfg, settings,
-            mid_samples=mid_samples, mid_logw0=mid_logw0, debug=True)
+            mid_samples=mid_samples, mid_logw0=mid_logw0, debug=True,
+            h_intent=h_intent)
         return action, SICNavDiffCarry(mpc=mpc_carry, forecaster=fstate,
                                        key=key), dbg
     action, mpc_carry = C.campc_action(ocp, mpc_view, carry.mpc, env_cfg,
                                        settings, mid_samples=mid_samples,
-                                       mid_logw0=mid_logw0)
+                                       mid_logw0=mid_logw0,
+                                       h_intent=h_intent)
     return action, SICNavDiffCarry(mpc=mpc_carry, forecaster=fstate, key=key)
 
 

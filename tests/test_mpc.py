@@ -2,6 +2,8 @@
 
 CAMPC full-solve tests use small configs (CPU compile time of the exact-
 Hessian IPM is the binding constraint, not runtime)."""
+import dataclasses
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -567,3 +569,114 @@ def test_brake_horizon_prefix_margin():
 
 def campc_mod_build(ocp2, state):
     return C.build_params(ocp2, state, ENV)
+
+
+def test_door_yield_update():
+    """door_yield_update (cfg.door_yield): direction-filtered latched pocket.
+
+    Scenario: hallway bottleneck, robot approaching the door (y=0) from
+    below. The protocol must (a) NOT fire while the robot is moving, even
+    with a deeper transiting human; (b) fire only after door_yield_stall
+    consecutive stalled steps near the door, yielding to a pocket set back
+    on the robot's side away from the blocker; (c) stay latched while the
+    mouth holds an oncoming transiting human, release when it clears;
+    (d) give no priority to a human PARKED at its final goal in the mouth;
+    (e) give no priority to a SAME-direction follower in the mouth."""
+    env = EnvConfig(scenario="hallway_bottleneck", human_policy="orca_plus",
+                    human_num=2, max_humans=2, starts_moving=0,
+                    robot_kinematics="unicycle")
+    cfg = MPCConfig(num_hums=2, num_walls=env.wall_slots,
+                    priviledged_info=True, door_yield=True,
+                    door_yield_stall=4)
+    state = CS.reset_host(env, case=0)
+    center = np.array([float(state.door.x_mid),
+                       0.5 * (float(state.door.y_min) + float(state.door.y_max))])
+    assert np.allclose(center, [0.0, 0.0], atol=1e-6)
+
+    # robot stalled just below the mouth, heading up; transiting human
+    # deeper in the mouth (left of center, moving on)
+    stalled = state._replace(
+        r_pos=jnp.array([0.0, -0.45]), r_goal=jnp.array([0.0, 3.0]),
+        r_vel=jnp.zeros(2), h_mask=jnp.array([True, True]),
+        h_pos=jnp.array([[-0.15, 0.2], [0.8, 2.0]]))
+    est_moving = jnp.array([[-0.15, -2.0], [0.8, 2.5]])
+
+    # (a)+(b): needs door_yield_stall consecutive stalled steps to trigger
+    stall, latch = jnp.int32(0), jnp.array(False)
+    fired_at = None
+    for k in range(cfg.door_yield_stall + 1):
+        use_pocket, pocket, stall, latch = C.door_yield_update(
+            stalled, est_moving, cfg, stall, latch)
+        if bool(use_pocket) and fired_at is None:
+            fired_at = k
+    assert fired_at == cfg.door_yield_stall - 1
+    p = np.asarray(pocket)
+    assert p[1] < -0.5                       # set back on the robot's side
+    assert p[0] > 0.3                        # away from the blocker (left)
+    assert abs(p[0]) <= 1.0 - 0.3            # inside the hallway walls
+
+    # moving robot: the stall counter resets, no trigger
+    moving = stalled._replace(r_vel=jnp.array([0.0, 0.8]))
+    up, _, stall_m, _ = C.door_yield_update(
+        moving, est_moving, cfg, jnp.int32(10), jnp.array(False))
+    assert not bool(up) and int(stall_m) == 0
+
+    # (c) latch holds while a transiting human occupies the mouth, even
+    # with the robot moving (retreating to the pocket) ...
+    up2, _, stall2, latch2 = C.door_yield_update(
+        moving, est_moving, cfg, jnp.int32(0), jnp.array(True))
+    assert bool(up2) and bool(latch2)
+    # ... and releases once the mouth clears
+    clear = moving._replace(h_pos=jnp.array([[-0.9, 1.5], [0.8, 2.0]]))
+    up3, _, _, latch3 = C.door_yield_update(
+        clear, est_moving, cfg, jnp.int32(0), jnp.array(True))
+    assert not bool(up3) and not bool(latch3)
+
+    # (d) human parked at a final goal in the mouth: no trigger ever
+    est_parked = jnp.array([[-0.15, 0.2], [0.8, 2.5]])
+    stall, latch = jnp.int32(0), jnp.array(False)
+    for _ in range(3 * cfg.door_yield_stall):
+        up4, _, stall, latch = C.door_yield_update(
+            stalled, est_parked, cfg, stall, latch)
+        assert not bool(up4)
+
+    # (e) same-direction follower in the mouth (intent continues up, the
+    # robot's own crossing direction): no priority, robot tails it
+    est_follow = jnp.array([[-0.15, 2.0], [0.8, 2.5]])
+    stall, latch = jnp.int32(0), jnp.array(False)
+    for _ in range(3 * cfg.door_yield_stall):
+        up6, _, stall, latch = C.door_yield_update(
+            stalled, est_follow, cfg, stall, latch)
+        assert not bool(up6)
+    # pre-emptive mode (door_yield_stall=0): oncoming deeper human fires
+    # immediately, follower still never does
+    cfg0 = dataclasses.replace(cfg, door_yield_stall=0)
+    up7, _, _, _ = C.door_yield_update(
+        stalled, est_moving, cfg0, jnp.int32(0), jnp.array(False))
+    assert bool(up7)
+    up8, _, _, _ = C.door_yield_update(
+        stalled, est_follow, cfg0, jnp.int32(0), jnp.array(False))
+    assert not bool(up8)
+
+    # robot through the pass band: disengaged even with traffic
+    through = stalled._replace(r_pos=jnp.array([0.0, 0.5]))
+    up5, _, _, latch5 = C.door_yield_update(
+        through, est_moving, cfg, jnp.int32(10), jnp.array(True))
+    assert not bool(up5) and not bool(latch5)
+
+    # (f) latch TIMEOUT: a yield that has not cleared the mouth by
+    # _YIELD_HOLD_MAX releases into a cooldown (counter = -_YIELD_COOLDOWN)
+    # during which the trigger is suppressed even under full stall ...
+    up9, _, s9, l9 = C.door_yield_update(
+        moving, est_moving, cfg, jnp.int32(C._YIELD_HOLD_MAX - 1),
+        jnp.array(True))
+    assert not bool(up9) and not bool(l9)
+    assert int(s9) == -C._YIELD_COOLDOWN
+    stall, latch = s9, l9
+    for _ in range(C._YIELD_COOLDOWN - 1):
+        upc, _, stall, latch = C.door_yield_update(
+            stalled, est_moving, cfg0, stall, latch)  # pre-emptive cfg
+        assert not bool(upc)
+    # ... and re-arms once the cooldown has elapsed
+    upr, _, _, _ = C.door_yield_update(stalled, est_moving, cfg0, stall, latch)
+    assert bool(upr)
