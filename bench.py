@@ -35,7 +35,12 @@ def main():
     # B=4096 saturates one v5e chip (measured: 1024 -> 265k steps/s,
     # 4096 -> 333k, 16384 -> 234k); T=32 amortizes the host-fetch barrier.
     B = 4096 if platform == "tpu" else 64
-    T = 32
+    # T=256 puts ~1M steps inside each timed window: at ~100M steps/s the
+    # window is ~10 ms, so the ~1 ms tunnel RTT of the in-window scalar
+    # fetch is ~10% overhead instead of dominating it — the round-2 T=32
+    # window was 1-6 ms, and the recorded 20-137M run-to-run spread was
+    # mostly RTT jitter, not device throughput.
+    T = 256 if platform == "tpu" else 32
 
     keys = jax.random.split(jax.random.PRNGKey(0), B)
     states = jax.vmap(lambda k: CS.reset_device(k, cfg))(keys)
@@ -68,7 +73,7 @@ def main():
     cur, r = roll(states)          # compile + warm
     float(r)
     times = []
-    for _ in range(5):
+    for _ in range(9):
         t0 = time.perf_counter()
         cur, r = roll(cur)
         float(r)                   # force real execution

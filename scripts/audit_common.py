@@ -116,6 +116,9 @@ def build(args):
         mpc_kw.update(priviledged_info=True,
                       close_to_preds=True,
                       num_mid_samples=fcfg.num_ret_samples)
+        # match the production fused default (SD.make_policy): door-yield
+        # on; --mpc_kw door_yield=False restores the pre-yield baseline
+        mpc_kw.setdefault("door_yield", True)
         ocp = OCP(MPCConfig(**mpc_kw))
 
         def step_fn(s, c):

@@ -32,6 +32,12 @@ def main():
     p.add_argument("--goal_dynamics", action="store_true",
                    help="reference's stateful MID-sample weight dynamics "
                         "(measured-best default is static weighted goals)")
+    p.add_argument("--door_yield", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="door-yield protocol (campc.door_yield_update). "
+                        "Default: on for sicnav_diffusion (make_policy "
+                        "default), off for plain campc (preserves the "
+                        "published plain baselines)")
     p.add_argument("--no_close_to_preds", action="store_true",
                    help="ablation: drop the sample-spread constraint")
     p.add_argument("--ral", action=argparse.BooleanOptionalAction,
@@ -161,6 +167,8 @@ def main():
                                      early_exit_tol=args.ipm_early_exit),
             goal_dynamics=args.goal_dynamics,
             close_to_preds=not args.no_close_to_preds, ral=args.ral,
+            door_yield=(args.door_yield if args.door_yield is not None
+                        else True),
             mpc_overrides={
                 "stage_margin": args.stage_margin,
                 "brake_on_unreal_guess": args.brake_on_unreal_guess,
@@ -198,7 +206,10 @@ def main():
             wall_margin=(args.wall_margin if args.wall_margin is not None
                          else 0.05),
             brake_on_unreal_guess=args.brake_on_unreal_guess,
-            brake_horizon=args.brake_horizon)
+            brake_horizon=args.brake_horizon,
+            # plain default OFF (published baselines); opt in with
+            # --door_yield
+            door_yield=bool(args.door_yield))
         from sicnav_tpu.mpc import ipm
         ocp, policy = C.make_policy(env_cfg, mpc_cfg,
                                     settings=ipm.IPMSettings(n_iter=args.ipm_iters, soc=args.soc,

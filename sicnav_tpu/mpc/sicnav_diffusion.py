@@ -119,7 +119,8 @@ def make_policy(env_cfg: EnvConfig, model: JMIDModel, mid_params,
                 mpc_cfg=None, fcfg: FC.ForecasterConfig = None,
                 settings: ipm.IPMSettings = None,
                 goal_dynamics: bool = False, close_to_preds: bool = True,
-                ral: bool = True, mpc_overrides: dict = None):
+                ral: bool = True, door_yield: bool = True,
+                mpc_overrides: dict = None):
     """Build (ocp, policy_fn): policy_fn(state, carry) -> (action, carry).
 
     ``goal_dynamics``: evolve human goals through the horizon via the
@@ -135,7 +136,12 @@ def make_policy(env_cfg: EnvConfig, model: JMIDModel, mid_params,
     (mpc_env_new.py:620-660) + capsule collision (:971) + Acados L1/L2
     slack penalties; the momentum-blended warmstart pref-vel
     (orca_casadi_new.py:729-775) stays opt-in via
-    MPCConfig.momentum_warmstart."""
+    MPCConfig.momentum_warmstart. ``door_yield`` (default True — the
+    round-3 timeout fix; self-gates on scenarios with a door, so
+    circle/square rows are untouched): the direction-filtered latched
+    door-yield protocol (campc.door_yield_update; 30 s 100-case
+    bottleneck A/B: success 74->82%, wall-ep 18->7% at equal
+    collisions)."""
     from sicnav_tpu.mpc.ocp import MPCConfig
     if fcfg is None:
         # measured-best sampling budget (BENCH_EXTRA round-2 A/B):
@@ -162,7 +168,8 @@ def make_policy(env_cfg: EnvConfig, model: JMIDModel, mid_params,
                             # capsule robot on every axis (500-case: succ
                             # 68.4->70.6%, wall-ep 16->13%) but HURTS the
                             # 4-state circle (100-case: succ -12 pts)
-                            wall_margin=0.10 if ral else 0.05)
+                            wall_margin=0.10 if ral else 0.05,
+                            door_yield=door_yield)
     if mpc_overrides:
         import dataclasses
         mpc_cfg = dataclasses.replace(mpc_cfg, **mpc_overrides)
