@@ -29,9 +29,27 @@ class EpisodeStats(NamedTuple):
     frozen_near_goal_steps: jnp.ndarray  # frozen within 1 m of the goal
                                          # (terminal-braking audit split)
     danger_steps: jnp.ndarray
+    yield_steps: jnp.ndarray         # steps spent with the policy's
+                                     # door-yield latch engaged (0 for
+                                     # policies without the protocol)
+    frozen_yield_steps: jnp.ndarray  # frozen steps that occur under the
+                                     # yield latch (intentional waiting —
+                                     # audit split for the frozen rate)
     min_dist: jnp.ndarray       # min dmin over episode
     total_reward: jnp.ndarray
     steps: jnp.ndarray
+
+
+def _door_latch(carry) -> jnp.ndarray:
+    """Extract the policy carry's door-yield latch (campc.CAMPCCarry
+    ``door_latch``) if present anywhere in the carry pytree; policies
+    without the protocol report a constant False."""
+    from jax.tree_util import tree_flatten_with_path
+    leaves, _ = tree_flatten_with_path(carry)
+    for path, leaf in leaves:
+        if any(getattr(p, "name", None) == "door_latch" for p in path):
+            return jnp.asarray(leaf, bool)
+    return jnp.array(False)
 
 
 @functools.partial(jax.jit, static_argnames=("policy_fn", "cfg", "max_steps"))
@@ -57,6 +75,8 @@ def rollout_episode(state: SimState, policy_fn: Callable, cfg: EnvConfig,
             (live & info.frozen &
              (jnp.linalg.norm(state.r_pos - state.r_goal) < 1.0)),
             danger_steps=stats.danger_steps + (live & info.danger),
+            yield_steps=stats.yield_steps,
+            frozen_yield_steps=stats.frozen_yield_steps,
             min_dist=jnp.minimum(stats.min_dist,
                                  jnp.where(live, info.dmin, jnp.inf)),
             total_reward=stats.total_reward + reward,
@@ -69,6 +89,7 @@ def rollout_episode(state: SimState, policy_fn: Callable, cfg: EnvConfig,
         collision_steps=jnp.int32(0), wall_collision_steps=jnp.int32(0),
         frozen_steps=jnp.int32(0), frozen_near_goal_steps=jnp.int32(0),
         danger_steps=jnp.int32(0),
+        yield_steps=jnp.int32(0), frozen_yield_steps=jnp.int32(0),
         min_dist=jnp.float32(jnp.inf), total_reward=jnp.float32(0.0),
         steps=jnp.int32(0))
 
@@ -93,6 +114,7 @@ def rollout_episode_stateful(state: SimState, carry0, step_fn: Callable,
     def body(c, _):
         state, pcarry, stats = c
         action, pcarry = step_fn(state, pcarry)
+        latch = _door_latch(pcarry)
         new_state, reward, info = crowd_sim.step_masked(state, action, cfg)
         live = ~state.done
         stats = EpisodeStats(
@@ -107,6 +129,9 @@ def rollout_episode_stateful(state: SimState, carry0, step_fn: Callable,
             (live & info.frozen &
              (jnp.linalg.norm(state.r_pos - state.r_goal) < 1.0)),
             danger_steps=stats.danger_steps + (live & info.danger),
+            yield_steps=stats.yield_steps + (live & latch),
+            frozen_yield_steps=stats.frozen_yield_steps +
+            (live & info.frozen & latch),
             min_dist=jnp.minimum(stats.min_dist,
                                  jnp.where(live, info.dmin, jnp.inf)),
             total_reward=stats.total_reward + reward,
@@ -119,6 +144,7 @@ def rollout_episode_stateful(state: SimState, carry0, step_fn: Callable,
         collision_steps=jnp.int32(0), wall_collision_steps=jnp.int32(0),
         frozen_steps=jnp.int32(0), frozen_near_goal_steps=jnp.int32(0),
         danger_steps=jnp.int32(0),
+        yield_steps=jnp.int32(0), frozen_yield_steps=jnp.int32(0),
         min_dist=jnp.float32(jnp.inf), total_reward=jnp.float32(0.0),
         steps=jnp.int32(0))
 
@@ -159,6 +185,7 @@ def rollout_episode_traced(state: SimState, carry0, step_fn: Callable,
     def body(c, _):
         state, pcarry, stats = c
         action, pcarry, aux = step_fn(state, pcarry)
+        latch = _door_latch(pcarry)
         new_state, reward, info = crowd_sim.step_masked(state, action, cfg)
         live = ~state.done
         stats = EpisodeStats(
@@ -173,6 +200,9 @@ def rollout_episode_traced(state: SimState, carry0, step_fn: Callable,
             (live & info.frozen &
              (jnp.linalg.norm(state.r_pos - state.r_goal) < 1.0)),
             danger_steps=stats.danger_steps + (live & info.danger),
+            yield_steps=stats.yield_steps + (live & latch),
+            frozen_yield_steps=stats.frozen_yield_steps +
+            (live & info.frozen & latch),
             min_dist=jnp.minimum(stats.min_dist,
                                  jnp.where(live, info.dmin, jnp.inf)),
             total_reward=stats.total_reward + reward,
@@ -190,6 +220,7 @@ def rollout_episode_traced(state: SimState, carry0, step_fn: Callable,
         collision_steps=jnp.int32(0), wall_collision_steps=jnp.int32(0),
         frozen_steps=jnp.int32(0), frozen_near_goal_steps=jnp.int32(0),
         danger_steps=jnp.int32(0),
+        yield_steps=jnp.int32(0), frozen_yield_steps=jnp.int32(0),
         min_dist=jnp.float32(jnp.inf), total_reward=jnp.float32(0.0),
         steps=jnp.int32(0))
 

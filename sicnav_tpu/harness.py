@@ -8,6 +8,7 @@ frozen / discomfort rates, mean nav time).
 
 from __future__ import annotations
 
+import sys
 from typing import Callable, Dict
 
 import jax
@@ -64,6 +65,9 @@ def evaluate_policy(policy_fn: Callable, cfg: EnvConfig, num_cases: int = 500,
                 batch_states, carries, step_fn, cfg, max_steps)
         all_stats.append(jax.tree.map(
             lambda x: np.atleast_1d(np.asarray(x))[:n_valid], stats))
+        print(f"[harness] cases {start}-{start + n_valid - 1}: "
+              f"success {float(np.mean(all_stats[-1].success)):.2f}",
+              file=sys.stderr, flush=True)
 
     stats = jax.tree.map(lambda *xs: np.concatenate([np.atleast_1d(x) for x in xs]),
                          *all_stats)
@@ -91,6 +95,13 @@ def summarize(stats, cfg: EnvConfig) -> Dict:
             max(np.sum(stats.frozen_steps), 1)),
         "frozen_far_episode_rate": float(np.mean(
             (stats.frozen_steps - stats.frozen_near_goal_steps) > 0)),
+        # door-yield audit: fraction of frozen steps spent under the
+        # policy's yield latch (intentional pocket waiting, not a stall),
+        # and overall latch occupancy — 0 for policies without the protocol
+        "frozen_yield_fraction": float(
+            np.sum(stats.frozen_yield_steps) /
+            max(np.sum(stats.frozen_steps), 1)),
+        "yield_step_freq": float(np.mean(stats.yield_steps / steps)),
         "mean_total_reward": float(np.mean(stats.total_reward)),
     }
     return out
