@@ -65,8 +65,15 @@ def evaluate_policy(policy_fn: Callable, cfg: EnvConfig, num_cases: int = 500,
                 batch_states, carries, step_fn, cfg, max_steps)
         all_stats.append(jax.tree.map(
             lambda x: np.atleast_1d(np.asarray(x))[:n_valid], stats))
+        # full running summary per batch: long suites on the tunneled chip
+        # can lose the worker mid-run — a prefix of batches must remain
+        # reconstructable from the log
+        running = jax.tree.map(
+            lambda *xs: np.concatenate([np.atleast_1d(x) for x in xs]),
+            *all_stats)
         print(f"[harness] cases {start}-{start + n_valid - 1}: "
-              f"success {float(np.mean(all_stats[-1].success)):.2f}",
+              f"success {float(np.mean(all_stats[-1].success)):.2f} "
+              f"running {summarize(running, cfg)}",
               file=sys.stderr, flush=True)
 
     stats = jax.tree.map(lambda *xs: np.concatenate([np.atleast_1d(x) for x in xs]),
