@@ -56,6 +56,11 @@ def main():
     p.add_argument("--scenario", default="circle_crossing")
     p.add_argument("--phase", default="test", choices=["test", "val"])
     p.add_argument("--batch", type=int, default=50)
+    p.add_argument("--progress_file", default=None,
+                   help="JSONL per-batch checkpoint: completed case "
+                        "ranges are skipped on rerun, so long suites "
+                        "on the tunneled chip resume instead of "
+                        "restarting (harness.evaluate_policy)")
     p.add_argument("--privileged", action="store_true")
     p.add_argument("--ipm_iters", type=int, default=30)
     p.add_argument("--soc", action="store_true",
@@ -80,6 +85,11 @@ def main():
                    action=argparse.BooleanOptionalAction, default=True,
                    help="cascade tightening: e-brake when the adopted "
                         "guess's exact rollout predicts a collision")
+    p.add_argument("--multi_start", type=int, default=1,
+                   help="batched multi-start NLP solves per control step "
+                        "(campc._build_starts): 1 = single-start cascade, "
+                        "4 = selected + fresh + brake + side-step starts "
+                        "solved as one vmapped IPM program")
     p.add_argument("--dwa_nv", type=int, default=8,
                    help="DWA static-window v samples (reference fixed-"
                         "resolution equivalent: ~3-4)")
@@ -115,12 +125,14 @@ def main():
                          n_v=args.dwa_nv, n_w=args.dwa_nw)
         res = harness.evaluate_policy(lambda s: dwa_policy(s, env_cfg, dcfg),
                                       env_cfg, args.num_cases, args.phase,
-                                      args.batch)
+                                      args.batch,
+                                      progress_file=args.progress_file)
     elif args.policy == "orca_plus":
         from sicnav_tpu.policies.orca_robot import orca_robot_action
         res = harness.evaluate_policy(lambda s: orca_robot_action(s, env_cfg),
                                       env_cfg, args.num_cases, args.phase,
-                                      args.batch)
+                                      args.batch,
+                                      progress_file=args.progress_file)
     elif args.policy in ("sarl", "rgl"):
         import jax
         import jax.numpy as jnp
@@ -140,7 +152,8 @@ def main():
             return actions[jnp.argmax(q_fn(params, s))]
 
         res = harness.evaluate_policy(greedy, env_cfg, args.num_cases,
-                                      args.phase, args.batch)
+                                      args.phase, args.batch,
+                                      progress_file=args.progress_file)
     elif args.policy == "sicnav_diffusion":
         import jax
         from sicnav_tpu.env import crowd_sim as CS
@@ -173,6 +186,7 @@ def main():
                 "stage_margin": args.stage_margin,
                 "brake_on_unreal_guess": args.brake_on_unreal_guess,
                 "brake_horizon": args.brake_horizon,
+                "multi_start": args.multi_start,
                 **({"wall_margin": args.wall_margin}
                    if args.wall_margin is not None else {})})
         if args.noise_std > 0:
@@ -183,7 +197,8 @@ def main():
         res = harness.evaluate_policy(
             None, env_cfg, args.num_cases, args.phase, args.batch,
             stateful_policy=(
-                lambda: SD.init_carry(ocp, env_cfg.max_humans, fcfg), policy))
+                lambda: SD.init_carry(ocp, env_cfg.max_humans, fcfg), policy),
+            progress_file=args.progress_file)
     else:
         from sicnav_tpu.mpc.ocp import MPCConfig
         from sicnav_tpu.mpc import campc as C
@@ -207,6 +222,7 @@ def main():
                          else 0.05),
             brake_on_unreal_guess=args.brake_on_unreal_guess,
             brake_horizon=args.brake_horizon,
+            multi_start=args.multi_start,
             # plain default OFF (published baselines); opt in with
             # --door_yield
             door_yield=bool(args.door_yield))
@@ -221,7 +237,8 @@ def main():
                 policy, NoiseConfig(args.noise_std, args.noise_std))
         res = harness.evaluate_policy(
             None, env_cfg, args.num_cases, args.phase, args.batch,
-            stateful_policy=(lambda: C.init_carry(ocp), policy))
+            stateful_policy=(lambda: C.init_carry(ocp), policy),
+            progress_file=args.progress_file)
 
     if (args.policy in ("sarl", "rgl", "sicnav_diffusion")
             and not args.checkpoint):

@@ -8,6 +8,8 @@ frozen / discomfort rates, mean nav time).
 
 from __future__ import annotations
 
+import json
+import os
 import sys
 from typing import Callable, Dict
 
@@ -19,9 +21,42 @@ from sicnav_tpu.env import crowd_sim, rollout
 from sicnav_tpu.env.types import EnvConfig
 
 
+def _load_progress(path: str) -> Dict[int, "rollout.EpisodeStats"]:
+    """Read a per-batch progress JSONL (written by evaluate_policy) into
+    {start_case: EpisodeStats}. Corrupt/partial trailing lines (a worker
+    killed mid-write) are skipped."""
+    done = {}
+    if not path or not os.path.exists(path):
+        return done
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                rec = json.loads(line)
+                stats = rollout.EpisodeStats(
+                    **{k: np.asarray(v) for k, v in rec["stats"].items()})
+            except (json.JSONDecodeError, KeyError, TypeError):
+                continue
+            done[int(rec["start"])] = stats
+    return done
+
+
+def _append_progress(path: str, start: int, stats) -> None:
+    rec = {"start": start,
+           "stats": {k: np.asarray(v).tolist()
+                     for k, v in stats._asdict().items()}}
+    with open(path, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+
+
 def evaluate_policy(policy_fn: Callable, cfg: EnvConfig, num_cases: int = 500,
                     phase: str = "test", batch: int = 50,
-                    stateful_policy=None, mesh=None) -> Dict:
+                    stateful_policy=None, mesh=None,
+                    progress_file: str = None) -> Dict:
     """Run ``num_cases`` seeded episodes; returns the reference summary
     metrics (RL_test.py:86-100).
 
@@ -31,13 +66,31 @@ def evaluate_policy(policy_fn: Callable, cfg: EnvConfig, num_cases: int = 500,
     policy cost amortizes across cases. Pass ``mesh`` (jax.sharding.Mesh)
     to shard the case batch over it: XLA partitions the fleet of episodes
     (and their MPC solves) across chips over ICI (SURVEY.md §2.9).
+
+    ``progress_file``: path to a JSONL checkpoint. Each completed batch is
+    appended (fsync'd) and already-completed batches are skipped on rerun,
+    so a 500-case suite on the tunneled chip survives worker kills — resume
+    by re-running the same command instead of reconstructing from logs.
     """
     max_steps = int(cfg.time_limit / cfg.dt) + 2
+    completed = _load_progress(progress_file)
     all_stats = []
+    running = None
 
     for start in range(0, num_cases, batch):
         cases = list(range(start, min(start + batch, num_cases)))
         n_valid = len(cases)
+        if start in completed:
+            prev = completed[start]
+            if len(np.atleast_1d(prev.success)) == n_valid:
+                all_stats.append(prev)
+                running = (prev if running is None else jax.tree.map(
+                    lambda a, b: np.concatenate(
+                        [np.atleast_1d(a), np.atleast_1d(b)]), running, prev))
+                print(f"[harness] cases {start}-{start + n_valid - 1}: "
+                      f"resumed from {progress_file}",
+                      file=sys.stderr, flush=True)
+                continue
         # pad the case batch up to a multiple of the mesh size so every
         # batch shards (50 % 8 != 0 previously made the mesh a silent
         # no-op on the standard 500-case suite); pad episodes replay the
@@ -63,22 +116,25 @@ def evaluate_policy(policy_fn: Callable, cfg: EnvConfig, num_cases: int = 500,
                 carries = shard_batch(carries, mesh)
             _, stats = rollout.batch_rollout_stateful(
                 batch_states, carries, step_fn, cfg, max_steps)
-        all_stats.append(jax.tree.map(
-            lambda x: np.atleast_1d(np.asarray(x))[:n_valid], stats))
-        # full running summary per batch: long suites on the tunneled chip
+        batch_stats = jax.tree.map(
+            lambda x: np.atleast_1d(np.asarray(x))[:n_valid], stats)
+        all_stats.append(batch_stats)
+        if progress_file:
+            _append_progress(progress_file, start, batch_stats)
+        # running summary per batch, tracked incrementally and reused for
+        # the final summarize (ADVICE r3): long suites on the tunneled chip
         # can lose the worker mid-run — a prefix of batches must remain
-        # reconstructable from the log
-        running = jax.tree.map(
-            lambda *xs: np.concatenate([np.atleast_1d(x) for x in xs]),
-            *all_stats)
+        # reconstructable from the log even without a progress_file
+        running = (batch_stats if running is None else jax.tree.map(
+            lambda a, b: np.concatenate([np.atleast_1d(a),
+                                         np.atleast_1d(b)]),
+            running, batch_stats))
         print(f"[harness] cases {start}-{start + n_valid - 1}: "
-              f"success {float(np.mean(all_stats[-1].success)):.2f} "
+              f"success {float(np.mean(batch_stats.success)):.2f} "
               f"running {summarize(running, cfg)}",
               file=sys.stderr, flush=True)
 
-    stats = jax.tree.map(lambda *xs: np.concatenate([np.atleast_1d(x) for x in xs]),
-                         *all_stats)
-    return summarize(stats, cfg)
+    return summarize(running, cfg)
 
 
 def summarize(stats, cfg: EnvConfig) -> Dict:

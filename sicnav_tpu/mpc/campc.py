@@ -26,7 +26,7 @@ from sicnav_tpu.env.types import EnvConfig, SimState
 from sicnav_tpu.mpc import ipm, warmstart as WS
 from sicnav_tpu.mpc.ocp import MPCConfig, MPCParams, OCP
 from sicnav_tpu.mpc.ref_traj import point_stab_reference
-from sicnav_tpu.ops.geometry import norm2, wrap_angle
+from sicnav_tpu.ops.geometry import norm2, seg_seg_dist, wrap_angle
 
 
 class CAMPCCarry(NamedTuple):
@@ -78,18 +78,11 @@ def init_carry(ocp: OCP) -> CAMPCCarry:
                       door_latch=jnp.array(False))
 
 
-# door-yield geometry (cfg.door_yield): tuned to the bottleneck layout
-# (door width 1.0 at y=0 spanning x in [-0.5, 0.5], hallway walls at
-# x = +-1.0, robot/human radii 0.3)
-_YIELD_R_OCC = 0.55       # "in the mouth" disc radius around the door center
-_YIELD_PASS_BAND = 0.35   # robot further through than this => committed
-_YIELD_POCKET_X = 0.58    # waiting-pocket lateral offset: hugs the side wall
-#                           (wall constraint keeps the center within ~0.60),
-#                           OUTSIDE the door's x-span so the robot does not
-#                           sit in the outflow lane it is yielding to
-_YIELD_POCKET_BACK = 0.90  # waiting-pocket setback from the door line
+# door-yield behavioral constants (cfg.door_yield). The GEOMETRIC values
+# (mouth radius, pass band, pocket placement) are derived per layout from
+# DoorParams + the actual wall segments in _yield_geometry below; only the
+# layout-independent behavior thresholds remain constants.
 _YIELD_TRANSIT_D = 0.30   # goal-estimate displacement that marks "moving"
-_YIELD_NEAR_D = 1.20      # stall counting radius around the door center
 _YIELD_STALL_V = 0.05     # executed speed below this counts as stalled
 _YIELD_HOLD_MAX = 16      # latch timeout (4 s): a yield that has not let the
 #                           mouth clear by then is a human-human jam the wait
@@ -97,6 +90,77 @@ _YIELD_HOLD_MAX = 16      # latch timeout (4 s): a yield that has not let the
 _YIELD_COOLDOWN = 12      # post-timeout assert window (3 s) with the yield
 #                           trigger suppressed, so the protocol alternates
 #                           yield/assert instead of deadlocking in either mode
+
+
+def _yield_geometry(state: SimState, cfg: MPCConfig, r_dir, side):
+    """Layout-derived door-yield geometry (round-4 generalization of the
+    former _YIELD_* position constants, which hard-coded the bottleneck's
+    door width 1.0 / walls +-1.0 / radii). Everything scales off
+    DoorParams, the robot radius, and the REAL wall segments:
+
+    - r_occ: "in the mouth" disc = door half-width + 0.05;
+    - pass_band: committed once the robot center is a robot radius + 0.10
+      past the door line;
+    - near_d: stall-counting radius around the door center;
+    - pocket: the waiting spot. Lateral offset starts just OUTSIDE the
+      door's x-span (out of the outflow lane being yielded to) and is
+      validated against the actual walls: among a small outward grid of
+      candidates at the setback line, take the innermost whose clearance
+      from every active wall segment satisfies the MPC's own wall-row
+      radius (rob_radius + stat_buf + wall_margin) — the pocket must be a
+      point the wall constraint will let the robot reach. If NO lateral
+      candidate clears (slanted-jamb layouts like hallway_squeeze where
+      the walls converge at the door), fall back to backing straight off
+      in-lane at 1.5x the setback.
+
+    At the published bottleneck layout (door 1.0, walls +-1.0,
+    rob_radius 0.25, wall_margin 0.10) this reproduces the round-3 tuned
+    values exactly: r_occ 0.55, pass_band 0.35, near_d 1.20, pocket at
+    (+-0.58, -r_dir 0.90). Returns the pocket (2,); the scalar geometry
+    comes from _yield_scalars."""
+    door = state.door
+    center = jnp.stack([door.x_mid, 0.5 * (door.y_min + door.y_max)])
+    pocket_back = 0.9 * door.width
+
+    # wall-row combined radius (mirrors ocp._ineq_groups' stat_buf rule)
+    rob_r = state.r_radius
+    stat_buf = jnp.where(cfg.max_speed * cfg.dt >= rob_r,
+                         cfg.max_speed * cfg.dt - rob_r + 0.01, 0.05)
+    comb = rob_r + stat_buf + cfg.wall_margin
+
+    y_p = center[1] - r_dir * pocket_back
+    want = 0.5 * door.width + 0.08
+    cand_x = door.x_mid + side * (want + jnp.linspace(0.0, 0.6, 8))
+    cand = jnp.stack([cand_x, jnp.broadcast_to(y_p, cand_x.shape)], -1)
+    # clearance of the whole approach segment (lane center at the setback
+    # line -> candidate) from every ACTIVE wall: a bare point-distance test
+    # cannot tell a candidate BEHIND a wall (far side, large distance) from
+    # a reachable one — the converging-jamb failure mode
+    anchor = jnp.stack([door.x_mid, y_p])
+    d_walls = jax.vmap(
+        lambda c: jnp.min(jnp.where(
+            state.wall_mask,
+            seg_seg_dist(jnp.broadcast_to(anchor, state.walls[:, 0].shape),
+                         jnp.broadcast_to(c, state.walls[:, 0].shape),
+                         state.walls[:, 0], state.walls[:, 1]),
+            jnp.inf)))(cand)                       # (8,)
+    clears = d_walls >= comb
+    first = jnp.argmax(clears)                     # innermost clearing cand
+    side_pocket = cand[jnp.where(jnp.any(clears), first,
+                                 jnp.argmax(d_walls))]
+    back_pocket = jnp.stack([door.x_mid, center[1] - r_dir * 1.5 * pocket_back])
+    return jnp.where(jnp.any(clears), side_pocket, back_pocket)
+
+
+def _yield_scalars(state: SimState):
+    """(center, r_occ, pass_band, near_d) of the door-yield geometry —
+    see _yield_geometry's docstring for the derivation."""
+    door = state.door
+    center = jnp.stack([door.x_mid, 0.5 * (door.y_min + door.y_max)])
+    r_occ = 0.5 * door.width + 0.05
+    pass_band = state.r_radius + 0.10
+    near_d = r_occ + 0.65
+    return center, r_occ, pass_band, near_d
 
 
 def door_yield_update(state: SimState, h_goal_est, cfg: MPCConfig,
@@ -130,9 +194,11 @@ def door_yield_update(state: SimState, h_goal_est, cfg: MPCConfig,
     up through the cooldown, latched it counts hold duration. Returns
     (use_pocket, pocket, stall', latch'). Pure behavior deviation from
     the reference (no analog in campc.get_int_goal); config-gated so the
-    published plain baselines are unchanged."""
+    published plain baselines are unchanged. Geometry is derived per
+    layout from DoorParams + the real wall segments (_yield_scalars /
+    _yield_geometry), not hard-coded to the bottleneck."""
     door = state.door
-    center = jnp.stack([door.x_mid, 0.5 * (door.y_min + door.y_max)])
+    center, r_occ, pass_band, near_d = _yield_scalars(state)
     r_dir = jnp.where(state.r_goal[1] >= state.r_pos[1], 1.0, -1.0)
     # engaged whenever the robot's remaining path crosses the door band
     # (NOT gated on the intermediate goal being active: that switch turns
@@ -140,7 +206,7 @@ def door_yield_update(state: SimState, h_goal_est, cfg: MPCConfig,
     ys_min = jnp.minimum(state.r_pos[1], state.r_goal[1])
     ys_max = jnp.maximum(state.r_pos[1], state.r_goal[1])
     crosses = (ys_min < door.y_mid_min) & (ys_max > door.y_mid_max)
-    not_through = (state.r_pos[1] - center[1]) * r_dir < _YIELD_PASS_BAND
+    not_through = (state.r_pos[1] - center[1]) * r_dir < pass_band
     engaged = door.has_door & crosses & not_through
     robot_d = norm2(state.r_pos - center)
 
@@ -151,11 +217,11 @@ def door_yield_update(state: SimState, h_goal_est, cfg: MPCConfig,
     # oncoming = intent opposes the robot's crossing direction; followers
     # (same-direction transit) never get priority — the robot tails them
     oncoming = disp[:, 1] * r_dir < 0.0
-    transiting = (state.h_mask[h] & (h_d < _YIELD_R_OCC) & oncoming &
+    transiting = (state.h_mask[h] & (h_d < r_occ) & oncoming &
                   (jnp.linalg.norm(disp, axis=-1) > _YIELD_TRANSIT_D))
     deeper = transiting & (h_d < robot_d)
 
-    stalled_now = (engaged & (robot_d < _YIELD_NEAR_D) &
+    stalled_now = (engaged & (robot_d < near_d) &
                    (norm2(state.r_vel) < _YIELD_STALL_V))
     # unlatched: counter < 0 is the post-timeout cooldown (counts up to 0,
     # trigger suppressed); >= 0 counts consecutive stalled steps
@@ -181,19 +247,21 @@ def door_yield_update(state: SimState, h_goal_est, cfg: MPCConfig,
     blockers = jnp.where(jnp.any(deeper), deeper, transiting)
     wx = jnp.sum(jnp.where(blockers, state.h_pos[h][:, 0] - door.x_mid, 0.0))
     side = jnp.where(wx >= 0.0, -1.0, 1.0)
-    pocket = jnp.stack([door.x_mid + side * _YIELD_POCKET_X,
-                        center[1] - r_dir * _YIELD_POCKET_BACK])
+    pocket = _yield_geometry(state, cfg, r_dir, side)
     return use_pocket, pocket, stall_new, latch_new
 
 
 def build_params(ocp: OCP, state: SimState, env_cfg: EnvConfig,
                  mid_samples=None, mid_logw0=None,
-                 goal_override=None) -> MPCParams:
+                 goal_override=None, cost_weights=None) -> MPCParams:
     """SimState -> MPCParams, applying the privileged / unprivileged model
     view (campc.predict:1285-1330): unprivileged replaces human goals with a
     2 s constant-velocity projection and v_pref with the configured bound.
     ``mid_samples`` (S, H, K+2, 2) / ``mid_logw0`` (S,) supply the MID
-    forecast grid when cfg.human_pred_mid is on."""
+    forecast grid when cfg.human_pred_mid is on. ``cost_weights``
+    (ocp.CostWeights) overrides the Q/R/termQ diagonals per solve — a
+    runtime parameter like the reference's (mpc_env_new.py:136-159), so
+    online weight tuning reuses the compiled program."""
     cfg = ocp.cfg
     H = cfg.num_hums
     h = slice(0, H)
@@ -285,7 +353,9 @@ def build_params(ocp: OCP, state: SimState, env_cfg: EnvConfig,
         walls=state.walls[:cfg.num_walls],
         wall_mask=state.wall_mask[:cfg.num_walls],
         x_ref=x_ref,
-        mid_samples=mid_samples, mid_logw0=mid_logw0)
+        mid_samples=mid_samples, mid_logw0=mid_logw0,
+        cost_w=(cfg.default_weights() if cost_weights is None
+                else cost_weights))
 
 
 def _shift_guess(ocp: OCP, z_prev, params: MPCParams):
@@ -331,8 +401,16 @@ def _select_guess(ocp: OCP, carry: CAMPCCarry, params: MPCParams):
     Without this check a model-vs-sim divergence (e.g. a wall clamp the
     model didn't predict) turns the shifted guess into a self-perpetuating
     fixpoint of huge-slack plans."""
-    cfg = ocp.cfg
     z_fresh = ocp.infer_slacks(WS.warmstart_horizon(ocp, params), params)
+    return _select_from_fresh(ocp, carry, params, z_fresh)
+
+
+def _select_from_fresh(ocp: OCP, carry: CAMPCCarry, params: MPCParams,
+                       z_fresh):
+    """_select_guess body with the fresh warmstart precomputed (the
+    multi-start path reuses it as its own start instead of rolling the
+    warmstart scan twice)."""
+    cfg = ocp.cfg
     limit = reuse_limit(cfg)
     counter_ok = (jnp.array(True) if limit is None
                   else carry.num_prev_used < limit)
@@ -352,6 +430,54 @@ def _select_guess(ocp: OCP, carry: CAMPCCarry, params: MPCParams):
     z_shift = ocp.infer_slacks(z_shift, params)
     z_guess = jnp.where(use_prev, z_shift, z_fresh)
     return jnp.where(jnp.all(jnp.isfinite(z_guess)), z_guess, z_fresh)
+
+
+def _brake_profile(ocp: OCP, params: MPCParams):
+    """Robot brake control plan (K, 2): decelerate at max_l_dcc to a stop,
+    no rotation — the emergency-brake maneuver as a full-horizon plan."""
+    cfg = ocp.cfg
+    v0 = ocp.rob_v_prev(params.x0_rob)
+    ks = jnp.arange(1, cfg.K + 1, dtype=jnp.float32)
+    v = jnp.maximum(v0 + cfg.max_l_dcc * cfg.dt * ks, 0.0)
+    return jnp.stack([v, jnp.zeros_like(v)], -1)
+
+
+def _dodge_goal(params: MPCParams):
+    """Laterally offset pull target for the side-step start: a point ~1.5 m
+    ahead on the goal line, displaced 0.8 m perpendicular AWAY from the
+    crowd's lateral mean. Only the warmstart's preferred velocity uses it —
+    the NLP still optimizes the true cost, so the side-step start simply
+    seeds a different homotopy basin (pass-left vs pass-right vs yield),
+    which a local NLP solver cannot cross on its own."""
+    pos = params.x0_rob[:2]
+    to_goal = params.goal - pos
+    d = norm2(to_goal)
+    dirv = to_goal / jnp.maximum(d, 1e-6)
+    perp = jnp.stack([-dirv[1], dirv[0]])
+    lat = jnp.sum((params.hums0[:, :2] - pos[None]) * perp[None], -1)
+    side = jnp.where(jnp.sum(lat) >= 0.0, -1.0, 1.0)
+    return pos + dirv * jnp.minimum(d, 1.5) + perp * (side * 0.8)
+
+
+def _build_starts(ocp: OCP, carry: CAMPCCarry, params: MPCParams):
+    """The cfg.multi_start parallel initial guesses, stacked (M, n_z), plus
+    the selected cascade guess. Order: [selected (shift-or-fresh), fresh
+    ORCA warmstart, brake profile, lateral side-step]. Every start is
+    KKT-consistent (exact lower-level human primals + polished duals) so
+    each seeds a distinct basin of the nonconvex NLP; the vmapped IPM
+    solves all of them as one batched program (the cascade fix the
+    reference cannot afford with serial IPOPT, campc.py:684-832)."""
+    cfg = ocp.cfg
+    z_fresh = ocp.infer_slacks(WS.warmstart_horizon(ocp, params), params)
+    z_sel = _select_from_fresh(ocp, carry, params, z_fresh)
+    zs = [z_sel, z_fresh]
+    if cfg.multi_start > 2:
+        zs.append(WS.z_from_robot_plan(ocp, params,
+                                       _brake_profile(ocp, params)))
+    if cfg.multi_start > 3:
+        zs.append(ocp.infer_slacks(WS.warmstart_horizon(
+            ocp, params._replace(goal=_dodge_goal(params))), params))
+    return z_sel, jnp.stack(zs[:cfg.multi_start])
 
 
 def exact_plan_margin(ocp: OCP, params: MPCParams, u_rob, horizon: int = 0):
@@ -374,7 +500,7 @@ def campc_action(ocp: OCP, state: SimState, carry: CAMPCCarry,
                  env_cfg: EnvConfig,
                  settings: ipm.IPMSettings = ipm.IPMSettings(),
                  mid_samples=None, mid_logw0=None, debug: bool = False,
-                 aux: bool = False, h_intent=None):
+                 aux: bool = False, h_intent=None, cost_weights=None):
     """One CAMPC control step. Returns (action (2,) = (v, r=om*dt), carry');
     with ``debug=True`` also a ``introspection.SolveDebug`` pytree (the
     reference's per-solve debug_material, campc.py:861-979); with
@@ -397,34 +523,66 @@ def campc_action(ocp: OCP, state: SimState, carry: CAMPCCarry,
         door_stall, door_latch = carry.door_stall, carry.door_latch
         goal_override = None
     params = build_params(ocp, state, env_cfg, mid_samples, mid_logw0,
-                          goal_override=goal_override)
-    z_guess = _select_guess(ocp, carry, params)
+                          goal_override=goal_override,
+                          cost_weights=cost_weights)
 
     f_fn = lambda z: ocp.cost(z, params)
     ce_fn = lambda z: ocp.eq_residuals(z, params)
     ci_fn = lambda z: ocp.ineq_residuals(z, params)
-    if debug:
-        z_sol, info, raw_trace = ipm.solve(f_fn, ce_fn, ci_fn, z_guess,
-                                           settings, return_trace=True)
+    comb = params.hum_coll_radii + params.rob_radius + cfg.rob_rad_buffer
+
+    def plan_margin(u_rob_plan):
+        # reality check: replay a robot plan against EXACT lower-level
+        # human responses (the reference audits solutions the same way via
+        # the real RVO2 callback, campc.calc_actual_orca_for_x_val:
+        # 1135-1156); plans that only avoid collisions under
+        # unconverged-KKT humans get a negative margin
+        Xr_ex, Xh_ex = WS.exact_human_rollout(ocp, params, u_rob_plan)
+        d_ex = jnp.linalg.norm(Xr_ex[:, None, :2] - Xh_ex[:, :, :2], axis=-1)
+        return jnp.min(d_ex - comb[None, :])
+
+    if debug or cfg.multi_start <= 1:
+        # single-start (reference-shaped cascade); debug traces need the
+        # one-solve iteration history, so debug always takes this path
+        z_guess = _select_guess(ocp, carry, params)
+        if debug:
+            z_sol, info, raw_trace = ipm.solve(f_fn, ce_fn, ci_fn, z_guess,
+                                               settings, return_trace=True)
+        else:
+            z_sol, info = ipm.solve(f_fn, ce_fn, ci_fn, z_guess, settings)
+        sol_margin = plan_margin(ocp.unpack(z_sol)[0])
     else:
-        z_sol, info = ipm.solve(f_fn, ce_fn, ci_fn, z_guess, settings)
+        # batched multi-start: one vmapped IPM solve over all starts, then
+        # adopt the best exact-rollout-feasible solution by cost
+        z_guess, starts = _build_starts(ocp, carry, params)
+        z_sols, infos = jax.vmap(
+            lambda z0: ipm.solve(f_fn, ce_fn, ci_fn, z0, settings))(starts)
+        costs = jax.vmap(f_fn)(z_sols)
+        finite = jnp.all(jnp.isfinite(z_sols), axis=-1)
+        feas = finite & (infos.ineq_viol < 1e-2) & (infos.eq_viol < 1e-1)
+        margins = jax.vmap(lambda z: plan_margin(ocp.unpack(z)[0]))(z_sols)
+        ok = feas & (margins > 0.0)
+        score = jnp.where(ok & jnp.isfinite(costs), costs, jnp.inf)
+        idx = jnp.where(jnp.any(ok), jnp.argmin(score), jnp.argmin(costs))
+        z_sol = z_sols[idx]
+        info = jax.tree.map(lambda x: x[idx], infos)
+        sol_margin = margins[idx]
 
     # --- failure cascade --------------------------------------------------
     sol_cost = ocp.cost(z_sol, params)
     guess_cost = ocp.cost(z_guess, params)
     sol_finite = jnp.all(jnp.isfinite(z_sol))
     sol_feasible = sol_finite & (info.ineq_viol < 1e-2) & (info.eq_viol < 1e-1)
-    # reality check: replay the solver's robot plan against EXACT lower-level
-    # human responses (the reference audits solutions the same way via the
-    # real RVO2 callback, campc.calc_actual_orca_for_x_val:1135-1156) and
-    # reject plans that only avoid collisions under unconverged-KKT humans
-    u_rob_sol, _, _, _ = ocp.unpack(z_sol)
-    Xr_ex, Xh_ex = WS.exact_human_rollout(ocp, params, u_rob_sol)
-    comb = params.hum_coll_radii + params.rob_radius + cfg.rob_rad_buffer
-    d_ex = jnp.linalg.norm(Xr_ex[:, None, :2] - Xh_ex[:, :, :2], axis=-1)
-    sol_realistic = jnp.all(d_ex > comb[None, :])
-    # reference: keep warmstart when the "optimized" value is worse (:695-707)
-    use_guess = (~sol_feasible) | (~sol_realistic) | (sol_cost > guess_cost)
+    sol_realistic = sol_margin > 0.0
+    # reference: keep warmstart when the "optimized" value is worse (:695-707).
+    # Multi-start refinement: the guess only wins on cost if it is itself
+    # exact-rollout-realistic — otherwise a cheap-but-colliding guess would
+    # shadow a realistic (possibly pricier, e.g. brake/side-step) solution,
+    # exactly the stale-single-guess failure multi-start exists to fix.
+    cost_worse = sol_cost > guess_cost
+    if cfg.multi_start > 1 and not debug:
+        cost_worse = cost_worse & (plan_margin(ocp.unpack(z_guess)[0]) > 0.0)
+    use_guess = (~sol_feasible) | (~sol_realistic) | cost_worse
     z_used = jnp.where(use_guess, z_guess, z_sol)
 
     # emergency brake if even the guess is broken (:754-786); with
@@ -473,7 +631,7 @@ def campc_action(ocp: OCP, state: SimState, carry: CAMPCCarry,
             use_guess=use_guess,
             sol_feasible=sol_feasible,
             sol_realistic=sol_realistic,
-            cost_worse=sol_cost > guess_cost,
+            cost_worse=cost_worse,
             braked=use_guess & ~guess_ok,
             slack_max=jnp.max(jnp.concatenate(
                 [jnp.atleast_1d(x) for x in slacks_used])),

@@ -149,6 +149,16 @@ class MPCConfig:
     # 0 = pre-emptive (yield as soon as oncoming traffic is deeper in the
     # mouth); N>0 = only after the robot has actually been wedged N steps
     door_yield_stall: int = 0
+    # batched multi-start (round-4 cascade fix): solve the NLP from
+    # multi_start parallel initial guesses — [selected (shift-or-fresh),
+    # fresh ORCA warmstart, brake profile, lateral side-step] — as ONE
+    # vmapped IPM solve, then adopt the best exact-rollout-feasible
+    # solution by cost. The round-3 taxonomy traced every residual
+    # collision to the cascade adopting a stale/infeasible SINGLE guess;
+    # the reference cannot afford multiple IPOPT processes per control
+    # step (campc.py:684-832) but the TPU solves 4 starts in one batched
+    # program. 1 = off (reference-shaped single-start cascade).
+    multi_start: int = 1
     # slack penalty family: "tro" = the Opti penalties (campc.py:280-330,
     # 1e9-scale quadratics on 1e-3-scaled slacks); "acados" = the RA-L
     # exporter's per-row L1/L2 penalties (campc_acados_opt.py:363-374,
@@ -207,6 +217,38 @@ class MPCConfig:
                                   time_horizon_obst=self.orca_time_horizon_obst,
                                   dt=self.dt)
 
+    def default_weights(self) -> "CostWeights":
+        """CostWeights filled from the static config (the compiled-in
+        defaults; override per solve via build_params(cost_weights=...))."""
+        return CostWeights(
+            q_x=jnp.float32(self.q_x), q_y=jnp.float32(self.q_y),
+            q_theta=jnp.float32(self.q_theta),
+            q_v_prev=jnp.float32(self.q_v_prev),
+            q_om_prev=jnp.float32(self.q_om_prev),
+            q_v_prev_dot=jnp.float32(self.q_v_prev_dot),
+            q_om_prev_dot=jnp.float32(self.q_om_prev_dot),
+            term_q_coeff=jnp.float32(self.term_q_coeff),
+            term_q_theta=jnp.float32(self.term_q_theta),
+            r_om=jnp.float32(self.r_om))
+
+
+class CostWeights(NamedTuple):
+    """Runtime-parametric cost diagonals. The RA-L MPCEnv passes the
+    Q/R/termQ diagonals to the solver as per-stage runtime parameters
+    (mpc_env_new.py:136-159) so weights can be retuned online without
+    regenerating the Acados C code; here they live in MPCParams (traced
+    solve inputs), so a weight sweep reuses ONE compiled XLA program."""
+    q_x: jnp.ndarray
+    q_y: jnp.ndarray
+    q_theta: jnp.ndarray
+    q_v_prev: jnp.ndarray
+    q_om_prev: jnp.ndarray
+    q_v_prev_dot: jnp.ndarray
+    q_om_prev_dot: jnp.ndarray
+    term_q_coeff: jnp.ndarray
+    term_q_theta: jnp.ndarray
+    r_om: jnp.ndarray
+
 
 class MPCParams(NamedTuple):
     """Per-solve problem data (pytree)."""
@@ -225,6 +267,7 @@ class MPCParams(NamedTuple):
     # and logw0 = zeros when human_pred_mid is off
     mid_samples: jnp.ndarray  # (S, H, K+2, 2)
     mid_logw0: jnp.ndarray    # (S,) joint log-weights
+    cost_w: CostWeights       # runtime Q/R/termQ diagonals
 
 
 class Slacks(NamedTuple):
@@ -377,35 +420,37 @@ class OCP:
         """T-RO: 0.5 |p_k - p_ref|^2 (+ terminal coeff) + 0.5 r_om om^2
         (mpc_env.py:104-107). RA-L 8-state: diag-weighted residual with the
         sin(th - th_ref) heading term and accel-state penalties
-        (mpc_env_new.get_cost_eqn:320-351; x_ref columns [x, y, sin, cos])."""
+        (mpc_env_new.get_cost_eqn:320-351; x_ref columns [x, y, sin, cos]).
+        All diagonals come from params.cost_w (runtime parameters, matching
+        mpc_env_new.py:136-159) — weight sweeps reuse one compiled program."""
         cfg = self.cfg
+        cw = params.cost_w
         if cfg.robot_nx == 8:
             dp = X_rob[:, :2] - params.x_ref[:, :2]
             # sin(th - th_ref) = sin cos_r - cos sin_r
             sin_res = (X_rob[:, 2] * params.x_ref[:, 3] -
                        X_rob[:, 3] * params.x_ref[:, 2])
-            w_pos = jnp.concatenate([jnp.ones(cfg.K),
-                                     jnp.array([cfg.term_q_coeff])])
-            w_th = jnp.concatenate([jnp.full(cfg.K, cfg.q_theta),
-                                    jnp.array([cfg.term_q_theta])])
+            w_pos = jnp.concatenate([jnp.ones(cfg.K), cw.term_q_coeff[None]])
+            w_th = jnp.concatenate([jnp.broadcast_to(cw.q_theta, (cfg.K,)),
+                                    cw.term_q_theta[None]])
             cost = 0.5 * jnp.sum(
-                w_pos * (cfg.q_x * dp[:, 0] ** 2 + cfg.q_y * dp[:, 1] ** 2))
+                w_pos * (cw.q_x * dp[:, 0] ** 2 + cw.q_y * dp[:, 1] ** 2))
             cost = cost + 0.5 * jnp.sum(w_th * sin_res ** 2)
             # residual X[4:] - Xr[4:] (mpc_env_new.get_cost_eqn:345): the
             # speed tracks the rolled reference's cruise speed (x_ref col 4),
             # not zero — tracking zero freezes the robot
             v_ref = params.x_ref[:, 4] if params.x_ref.shape[-1] > 4 else 0.0
             cost = cost + 0.5 * jnp.sum(
-                cfg.q_v_prev * (X_rob[:, 4] - v_ref) ** 2 +
-                cfg.q_om_prev * X_rob[:, 5] ** 2 +
-                cfg.q_v_prev_dot * X_rob[:, 6] ** 2 +
-                cfg.q_om_prev_dot * X_rob[:, 7] ** 2)
-            cost = cost + 0.5 * cfg.r_om * jnp.sum(u_rob[:, 1] ** 2)
+                cw.q_v_prev * (X_rob[:, 4] - v_ref) ** 2 +
+                cw.q_om_prev * X_rob[:, 5] ** 2 +
+                cw.q_v_prev_dot * X_rob[:, 6] ** 2 +
+                cw.q_om_prev_dot * X_rob[:, 7] ** 2)
+            cost = cost + 0.5 * cw.r_om * jnp.sum(u_rob[:, 1] ** 2)
             return cost
         dp = X_rob[:, :2] - params.x_ref[:, :2]         # (K+1, 2)
-        w = jnp.concatenate([jnp.ones(cfg.K), jnp.array([cfg.term_q_coeff])])
+        w = jnp.concatenate([jnp.ones(cfg.K), cw.term_q_coeff[None]])
         cost = 0.5 * jnp.sum(w * jnp.sum(dp * dp, axis=-1))
-        cost = cost + 0.5 * cfg.r_om * jnp.sum(u_rob[:, 1] ** 2)
+        cost = cost + 0.5 * cw.r_om * jnp.sum(u_rob[:, 1] ** 2)
         return cost
 
     def slack_cost(self, slacks: Slacks):

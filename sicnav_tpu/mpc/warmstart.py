@@ -191,19 +191,21 @@ def _vel_to_unicycle(ocp: OCP, xr, v_des):
     return jnp.stack([sp, om])
 
 
-def exact_human_rollout(ocp: OCP, params: MPCParams, u_rob):
+def plan_human_rollout(ocp: OCP, params: MPCParams, u_rob):
     """Roll the horizon with the GIVEN robot controls and humans responding
     via exact per-stage lower-level ORCA solves — the ground-truth model
     rollout the reference replays through the real RVO2 callback to audit
     optimizer solutions (campc.calc_actual_orca_for_x_val:1135-1156).
 
-    Returns (X_rob (K+1, nx_r), X_hums (K+1, H, 6))."""
+    Returns (X_rob (K+1, nx_r), X_hums (K+1, H, 6), u_hums (K, H, 3),
+    lam (K, H, n_lam)) — the human decisions/duals make any robot plan
+    packable as a KKT-consistent multi-start z (campc z_from_robot_plan)."""
     cfg = ocp.cfg
     H = cfg.num_hums
 
     def body(carry, k):
         xr, xh = carry
-        uh, _ = jax.vmap(lambda a: solve_human_step(ocp, params, xr, xh, a))(
+        uh, lam = jax.vmap(lambda a: solve_human_step(ocp, params, xr, xh, a))(
             jnp.arange(H))
         v, om, dt = u_rob[k, 0], u_rob[k, 1], cfg.dt
         if cfg.robot_nx == 8:
@@ -221,13 +223,38 @@ def exact_human_rollout(ocp: OCP, params: MPCParams, u_rob):
         vel = cfg.orca_vxy_scaling * uh[:, :2]
         xh_next = jnp.concatenate([xh[:, :2] + vel * cfg.dt, vel, xh[:, 4:6]],
                                   -1)
-        return (xr_next, xh_next), (xr_next, xh_next)
+        return (xr_next, xh_next), (xr_next, xh_next, uh, lam)
 
-    (_, _), (xr_traj, xh_traj) = jax.lax.scan(
+    (_, _), (xr_traj, xh_traj, u_hums, lam) = jax.lax.scan(
         body, (params.x0_rob, params.hums0), jnp.arange(cfg.K))
     X_rob = jnp.concatenate([params.x0_rob[None], xr_traj], axis=0)
     X_hums = jnp.concatenate([params.hums0[None], xh_traj], axis=0)
+    return X_rob, X_hums, u_hums, lam
+
+
+def exact_human_rollout(ocp: OCP, params: MPCParams, u_rob):
+    """(X_rob, X_hums) of plan_human_rollout — the unused decision/dual
+    outputs are dead-code-eliminated by XLA after jit."""
+    X_rob, X_hums, _, _ = plan_human_rollout(ocp, params, u_rob)
     return X_rob, X_hums
+
+
+def z_from_robot_plan(ocp: OCP, params: MPCParams, u_rob):
+    """Pack an arbitrary robot control plan (K, 2) into a KKT-consistent
+    decision vector: humans respond via exact per-stage lower-level ORCA
+    solves (primal + Newton-polished duals, plan_human_rollout), slacks are
+    inferred from the residuals. This makes ANY robot maneuver — a brake
+    profile, a side-step, a creep — a feasible multi-start point for the
+    NLP (campc._build_starts), which the reference cannot afford with one
+    IPOPT process per solve (campc.py:684-832) but a vmapped IPM can."""
+    _, _, u_hums, lam = plan_human_rollout(ocp, params, u_rob)
+    cfg = ocp.cfg
+    H = cfg.num_hums
+    zero = jnp.zeros(())
+    zH = jnp.zeros((H,))
+    slacks = Slacks(zH, zero, zero, zH, zH, zero, zH, zH, zH)
+    z = ocp.pack(u_rob, u_hums[:cfg.K_orca], lam[:cfg.K_orca], slacks)
+    return ocp.infer_slacks(z, params)
 
 
 def warmstart_horizon(ocp: OCP, params: MPCParams):

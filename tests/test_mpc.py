@@ -125,6 +125,7 @@ def test_ipm_soc_on_curved_equality():
     assert float(info_soc.eq_viol) < 1e-3
 
 
+@pytest.mark.slow
 def test_campc_cvmm_moves_toward_goal():
     """MPC-CVMM baseline variant (small problem, fast compile)."""
     mpc_cfg = MPCConfig(num_hums=2, num_walls=1, hum_model="cvmm",
@@ -141,6 +142,7 @@ def test_campc_cvmm_moves_toward_goal():
     assert abs(a[1]) <= MPC.max_rot * ENV.dt + 1e-5
 
 
+@pytest.mark.slow
 def test_mid_weight_dynamics_and_preds_constraint():
     """human_pred_mid: goals track weighted samples; preds rows sized."""
     import numpy as np
@@ -188,6 +190,7 @@ def test_realtime_settings_table():
     assert sm.n_iter > 0
 
 
+@pytest.mark.slow
 def test_ral_8state_mode():
     """RA-L 8-dim robot state: dynamics invariants + cost/constraint sizing
     (mpc_env_new.py:320-351, 620-660)."""
@@ -250,6 +253,7 @@ def test_point_stab_reference_phases():
                                atol=1e-6)
 
 
+@pytest.mark.slow
 def test_campc_point_stab_x_ref():
     """build_params with ref_type=point_stab paces x_ref at pref_speed
     instead of tiling the goal."""
@@ -272,6 +276,7 @@ def test_campc_point_stab_x_ref():
     assert steps[0] > 0.9 * cfg.pref_speed * cfg.dt
 
 
+@pytest.mark.slow
 def test_reuse_k_budget():
     """Previous-solution reuse is unlimited with warmstart+KKT, budget-
     limited otherwise (campc.py:121-123, 601, 742)."""
@@ -314,6 +319,7 @@ def test_reuse_k_budget():
                                atol=1e-6)
 
 
+@pytest.mark.slow
 def test_bring_fwd_discrepancy_rebuilds_warmstart():
     """When the world deviates from the previous solution's stage-1
     prediction (campc.py:546-550), the shifted guess is discarded for a
@@ -381,6 +387,7 @@ def test_introspection_reports(ocp, setup):
     assert "name" in report["worst"]
 
 
+@pytest.mark.slow
 def test_campc_debug_mode(ocp, setup):
     """campc_action(debug=True) returns the SolveDebug pytree and the same
     action as the plain path."""
@@ -395,6 +402,7 @@ def test_campc_debug_mode(ocp, setup):
     assert set(dbg.viol_used) == set(dbg.viol_sol)
 
 
+@pytest.mark.slow
 def test_campc_aux_mode(ocp, setup):
     """campc_action(aux=True) returns the CAMPCAux telemetry pytree with
     the same action as the plain path; the cascade flags are mutually
@@ -414,6 +422,7 @@ def test_campc_aux_mode(ocp, setup):
     assert np.isfinite(float(aux.slack_max))
 
 
+@pytest.mark.slow
 def test_traced_rollout_matches_stateful(ocp, setup):
     """rollout_episode_traced returns the same EpisodeStats as the plain
     stateful rollout plus a per-step StepTrace."""
@@ -439,6 +448,7 @@ def test_traced_rollout_matches_stateful(ocp, setup):
     assert trace.aux.use_guess.shape == (5,)
 
 
+@pytest.mark.slow
 def test_failed_solve_rebuilds_fresh_warmstart():
     """After a failed solve (prev_ok=False) the next guess is the fresh
     full-horizon warmstart, not the shifted failed plan
@@ -466,6 +476,7 @@ def test_failed_solve_rebuilds_fresh_warmstart():
         np.asarray(z_fresh), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_acados_slack_mode():
     """slack_mode='acados': raw-violation slacks with L1/L2 penalties
     (campc_acados_opt.py:363-374) — far softer than the T-RO quadratics."""
@@ -487,6 +498,7 @@ def test_acados_slack_mode():
     assert float(ot.slack_cost(s_t)) > 1e4 * float(oa.slack_cost(s))
 
 
+@pytest.mark.slow
 def test_v_signed_alignment_wrap():
     """The signed-speed extraction must be robust to float wobble on either
     side of theta == heading (jnp.mod(x, 2pi) maps -eps to 2pi - eps)."""
@@ -515,6 +527,7 @@ def test_v_signed_alignment_wrap():
     assert float(params.x0_rob[3]) < -0.49
 
 
+@pytest.mark.slow
 def test_ipm_early_exit_matches_full_run():
     """early_exit_tol converts the fixed-trip scan into a while_loop that
     stops at convergence: same optimum, fewer iterations, iters telemetry."""
@@ -545,6 +558,7 @@ def test_ipm_early_exit_matches_full_run():
                                np.tile(np.asarray(z_full), (3, 1)), atol=1e-3)
 
 
+@pytest.mark.slow
 def test_brake_horizon_prefix_margin():
     """exact_plan_margin with horizon>0 ignores late-horizon contact: a plan
     driving straight at a distant stationary human has negative full-horizon
@@ -680,3 +694,157 @@ def test_door_yield_update():
     # ... and re-arms once the cooldown has elapsed
     upr, _, _, _ = C.door_yield_update(stalled, est_moving, cfg0, stall, latch)
     assert bool(upr)
+
+
+@pytest.mark.slow
+def test_cost_weights_runtime_parametric():
+    """Q/R/termQ diagonals are per-solve runtime parameters (CostWeights in
+    MPCParams, matching the reference's parametric weights,
+    mpc_env_new.py:136-159): (a) a weight change alters the cost through
+    ONE compiled program (no retrace); (b) the defaults reproduce the
+    static-config cost exactly."""
+    from sicnav_tpu.mpc.ocp import CostWeights  # noqa: F401
+    ocp2 = OCP(MPC)
+    state = CS.reset_host(ENV, case=1)
+    params = C.build_params(ocp2, state, ENV)
+    rng = np.random.default_rng(3)
+    z = jnp.asarray(rng.normal(size=MPC.n_z), jnp.float32)
+
+    traces = []
+
+    @jax.jit
+    def cost(z, params):
+        traces.append(None)
+        return ocp2.cost(z, params)
+
+    c0 = float(cost(z, params))
+    w1 = MPC.default_weights()._replace(term_q_coeff=jnp.float32(200.0),
+                                        r_om=jnp.float32(0.7))
+    c1 = float(cost(z, params._replace(cost_w=w1)))
+    assert len(traces) == 1, "weight change retraced the program"
+    assert c1 != c0
+    # defaults == static config semantics
+    cfg2 = dataclasses.replace(MPC, term_q_coeff=200.0, r_om=0.7)
+    params2 = C.build_params(OCP(cfg2), state, ENV)
+    np.testing.assert_allclose(
+        float(OCP(cfg2).cost(z, params2)), c1, rtol=1e-6)
+
+
+def test_yield_pocket_layout_derived():
+    """_yield_geometry derives the waiting pocket from DoorParams + the
+    REAL wall segments: (a) bottleneck reproduces the round-3 tuned pocket
+    (+-0.58, -0.90); (b) on hallway_static (angled jambs) the pocket keeps
+    the MPC wall-row clearance from every wall; (c) when no lateral
+    candidate clears (walls converging at the door), it falls back to
+    backing off in-lane."""
+    from sicnav_tpu.ops.geometry import point_to_segment_dist
+
+    env = EnvConfig(scenario="hallway_bottleneck", human_policy="orca_plus",
+                    human_num=2, max_humans=2, starts_moving=0,
+                    robot_kinematics="unicycle")
+    cfg = MPCConfig(num_hums=2, num_walls=env.wall_slots, door_yield=True,
+                    wall_margin=0.10)
+    state = CS.reset_host(env, case=0)
+    state = state._replace(r_pos=jnp.array([0.0, -0.45]),
+                           r_goal=jnp.array([0.0, 3.0]))
+    p = np.asarray(C._yield_geometry(state, cfg, jnp.float32(1.0),
+                                     jnp.float32(1.0)))
+    np.testing.assert_allclose(p, [0.58, -0.90], atol=1e-6)
+
+    # (b) hallway_static: pocket must clear every active wall by the
+    # MPC's own wall-row radius
+    env_s = EnvConfig(scenario="hallway_static", human_policy="orca_plus",
+                      human_num=2, max_humans=2, starts_moving=0,
+                      robot_kinematics="unicycle")
+    cfg_s = MPCConfig(num_hums=2, num_walls=env_s.wall_slots,
+                      door_yield=True, wall_margin=0.05)
+    st = CS.reset_host(env_s, case=0)
+    st = st._replace(r_pos=jnp.array([0.0, -0.45]),
+                     r_goal=jnp.array([0.0, 3.0]))
+    for side in (1.0, -1.0):
+        pk = np.asarray(C._yield_geometry(st, cfg_s, jnp.float32(1.0),
+                                          jnp.float32(side)))
+        d = np.asarray(point_to_segment_dist(
+            st.walls[:, 0], st.walls[:, 1], jnp.asarray(pk)[None]))
+        d = np.where(np.asarray(st.wall_mask), d, np.inf)
+        stat_buf = 0.05  # max_speed*dt < rob_radius branch
+        comb = float(st.r_radius) + stat_buf + cfg_s.wall_margin
+        assert d.min() >= comb - 1e-6, (pk, d.min(), comb)
+
+    # (c) converging walls: squeeze every lateral candidate -> in-lane
+    # back-off fallback
+    tight = st._replace(
+        walls=jnp.zeros_like(st.walls)
+        .at[0].set(jnp.array([[-0.55, -3.0], [-0.55, 3.0]]))
+        .at[1].set(jnp.array([[0.55, -3.0], [0.55, 3.0]])),
+        wall_mask=jnp.zeros_like(st.wall_mask).at[:2].set(True))
+    pk = np.asarray(C._yield_geometry(tight, cfg_s, jnp.float32(1.0),
+                                      jnp.float32(1.0)))
+    assert abs(pk[0]) < 1e-6            # in-lane
+    assert pk[1] < -1.2                 # backed off 1.5x the setback
+
+
+@pytest.mark.slow
+def test_z_from_robot_plan_kkt_consistent(ocp, setup):
+    """z_from_robot_plan packs an arbitrary robot maneuver with exact
+    lower-level human responses: the unpacked robot plan is the input, and
+    the embedded-KKT equality residuals are near zero (the humans' primals
+    and duals solve their ORCA problems along the plan)."""
+    _, params = setup
+    u_rob = C._brake_profile(ocp, params)
+    z = WS.z_from_robot_plan(ocp, params, u_rob)
+    u_out, _, _, _ = ocp.unpack(z)
+    np.testing.assert_allclose(np.asarray(u_out), np.asarray(u_rob),
+                               rtol=1e-6)
+    eq = np.asarray(ocp.eq_residuals(z, params))
+    assert np.max(np.abs(eq)) < 5e-2, np.max(np.abs(eq))
+
+
+@pytest.mark.slow
+def test_build_starts_shapes_and_selected(ocp, setup):
+    """_build_starts stacks cfg.multi_start KKT-consistent guesses; row 0
+    is exactly the single-start cascade guess (_select_guess), so
+    multi_start=1 reduces to the reference-shaped behavior."""
+    state, _ = setup
+    cfg4 = dataclasses.replace(MPC, multi_start=4)
+    ocp4 = OCP(cfg4)
+    params = C.build_params(ocp4, state, ENV)
+    carry = C.init_carry(ocp4)
+    z_sel, starts = C._build_starts(ocp4, carry, params)
+    assert starts.shape == (4, cfg4.n_z)
+    np.testing.assert_array_equal(np.asarray(starts[0]), np.asarray(z_sel))
+    np.testing.assert_allclose(
+        np.asarray(z_sel), np.asarray(C._select_guess(ocp4, carry, params)),
+        rtol=1e-6)
+    # brake start row: robot controls are the decelerating profile
+    u_brake, _, _, _ = ocp4.unpack(starts[2])
+    np.testing.assert_allclose(np.asarray(u_brake),
+                               np.asarray(C._brake_profile(ocp4, params)),
+                               rtol=1e-6)
+    assert np.all(np.isfinite(np.asarray(starts)))
+
+
+@pytest.mark.slow
+def test_multi_start_campc_runs_and_improves_worst_case():
+    """The vmapped multi-start control step returns a finite action and its
+    adopted plan is exact-rollout-realistic whenever ANY start's solution
+    is (the selection picks the best feasible-realistic candidate — the
+    round-4 cascade fix for stale-single-guess collisions)."""
+    env = EnvConfig(scenario="circle_crossing", human_policy="orca",
+                    human_num=2, max_humans=2, starts_moving=0,
+                    robot_kinematics="unicycle")
+    cfg = MPCConfig(num_hums=2, num_walls=1, priviledged_info=True,
+                    multi_start=4)
+    ocp4 = OCP(cfg)
+    settings = ipm.IPMSettings(n_iter=6)
+    state = CS.reset_host(env, case=2)
+    carry = C.init_carry(ocp4)
+    for _ in range(3):
+        (a, carry, aux) = C.campc_action(ocp4, state, carry, env, settings,
+                                         aux=True)
+        assert np.all(np.isfinite(np.asarray(a)))
+        state, _, _ = CS.step(state, jnp.asarray(a), env)
+    # the adopted plan's exact margin is recorded; a realistic adoption
+    # implies positive margin
+    if not bool(aux.use_guess):
+        assert float(aux.exact_margin) > 0.0
