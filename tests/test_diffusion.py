@@ -134,6 +134,7 @@ def test_build_examples_masks():
         assert e.fut_vel.shape == (2, 8, 2)
 
 
+@pytest.mark.slow
 def test_training_reduces_loss():
     batches = _synthetic_batches()
     stacked = D.stack_batches(batches[:6])
@@ -153,6 +154,7 @@ def test_training_reduces_loss():
     assert np.mean(losses[-10:]) < np.mean(losses[:5])
 
 
+@pytest.mark.slow
 def test_forecaster_plumbing():
     from sicnav_tpu.diffusion import forecaster as FC
     from sicnav_tpu.env.types import EnvConfig
@@ -213,6 +215,7 @@ def test_most_likely_metrics():
     assert 0 <= float(a) < 0.5 and 0 <= float(f) < 0.5
 
 
+@pytest.mark.slow
 def test_render_episode(tmp_path):
     from sicnav_tpu.env.types import EnvConfig
     from sicnav_tpu.env import crowd_sim as CS
@@ -245,6 +248,7 @@ def test_render_episode(tmp_path):
     assert os.path.getsize(out3) > 0
 
 
+@pytest.mark.slow
 def test_eval_scene_full_metric_set():
     """eval_scene_full returns the reference's full metric sweep with
     finite values and monotone horizon fractions on an easy CV scene."""
@@ -276,6 +280,7 @@ def test_eval_scene_full_metric_set():
     assert float(m["ade_two_fourth"]) <= float(m["ade_three_fourth"]) + 1e-6
 
 
+@pytest.mark.slow
 def test_partial_future_masking_no_agent_drop():
     """Agents with partially observed futures stay in the eval with
     per-step masks (the reference's NaN-masked metrics) instead of being
@@ -303,6 +308,7 @@ def test_partial_future_masking_no_agent_drop():
     np.testing.assert_allclose(float(sade), np.sqrt(2) * 0.1, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_diffnet_variants_loss_and_sample():
     """Every config.diffnet name (reference diffusion.py:67-690) initializes,
     trains one step, and samples with finite outputs."""

@@ -9,6 +9,7 @@ identical to single-device execution, with XLA inserting the collectives.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from sicnav_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 
@@ -18,6 +19,7 @@ def test_mesh_uses_all_devices():
     assert mesh.devices.size == 8
 
 
+@pytest.mark.slow
 def test_sharded_ipm_batch_matches_unsharded():
     """A batch of box-constrained QPs solved by the IPM, vmapped and sharded
     over the mesh, matches the unsharded solve bit-for-bit-ish."""
@@ -79,6 +81,7 @@ def test_sharded_env_rollout_matches_unsharded():
                                np.asarray(s_plain.r_pos), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_sharded_harness_matches_unsharded():
     """evaluate_policy(mesh=...) — the production eval path — yields the
     same summary metrics as the single-device run."""
@@ -98,6 +101,7 @@ def test_sharded_harness_matches_unsharded():
                                    err_msg=k)
 
 
+@pytest.mark.slow
 def test_sharded_campc_fleet_step():
     """parallel.fleet: one sharded fleet CAMPC control step runs and
     matches the unsharded vmapped solve."""
@@ -127,6 +131,7 @@ def test_sharded_campc_fleet_step():
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_replicated_params_sharded_batch_training_step():
     """DP training step: replicated params + sharded batch yields the same
     loss and updated params as single-device (XLA all-reduces grads)."""
@@ -166,6 +171,7 @@ def test_replicated_params_sharded_batch_training_step():
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-5)
 
 
+@pytest.mark.slow
 def test_sharded_dqn_train_loop_matches_unsharded():
     """dqn.train(mesh=...) — the production RL path — produces the same
     params as single-device for a short run (same keys, same batches)."""

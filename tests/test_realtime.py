@@ -70,6 +70,7 @@ def test_buffer_thread_safety():
     assert not errs
 
 
+@pytest.mark.slow
 def test_streaming_controller_step():
     import jax
     from sicnav_tpu.env.types import EnvConfig

@@ -1,5 +1,6 @@
 """RL layer tests: networks, lookahead semantics, replay, short DQN run."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -73,6 +74,7 @@ def test_replay_buffer_ring():
     assert batch.reward.shape == (16,)
 
 
+@pytest.mark.slow
 def test_short_dqn_run():
     net = SARLNetwork()
     params, hist = D.train(net, ENV, DQN, n_envs=4, total_steps=120,
@@ -164,6 +166,7 @@ def test_il_labels_match_reference_formula():
     assert values.max() <= 1.0 + 1e-5
 
 
+@pytest.mark.slow
 def test_train_checkpoint_roundtrip(tmp_path):
     """save_freq checkpoints persist params + target + optimizer + replay
     buffer and reload losslessly (CustomCallback parity)."""

@@ -2,6 +2,7 @@
 latent semantics, unicycle dynamics limits, map encoder, and end-to-end CVAE
 training/prediction on synthetic scenes."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 import optax
@@ -108,6 +109,7 @@ def test_cnn_map_encoder():
     assert out.shape == (2, 32)
 
 
+@pytest.mark.slow
 def test_cvae_trains_and_predicts():
     cfg = ModelConfig(context_dim=16, enc_rnn_dim=8, tf_layer=1,
                       history_len=6, horizon=8)
