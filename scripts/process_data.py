@@ -32,7 +32,13 @@ def main():
                    help="ALSO write a reference-format dill Environment "
                         "pkl (env_pkl interchange; loadable by the "
                         "reference's dataset/dataset.py)")
+    p.add_argument("--classes", default="PEDESTRIAN",
+                   help="comma-separated NODE_TYPES to keep; more than one "
+                        "enables multi-class examples whose node_type "
+                        "codes drive the per-class encoder dispatch "
+                        "(process_data.py:413-421 multi-class parity)")
     args = p.parse_args()
+    keep_classes = tuple(args.classes.split(","))
 
     from sicnav_tpu.diffusion import data as D
 
@@ -48,15 +54,17 @@ def main():
     else:
         frame_div = 10 if args.source == "jrdb" else 1
         for f in args.files:
-            pos, valid = D.load_trajectory_file(f, dt=args.dt,
-                                                frame_divisor=frame_div,
-                                                center=args.source == "jrdb")
+            pos, valid, types = D.load_trajectory_file(
+                f, dt=args.dt, frame_divisor=frame_div,
+                center=args.source == "jrdb", keep_classes=keep_classes,
+                return_types=True)
             raw_scenes.append((os.path.basename(f).split(".")[0],
                                args.dt, pos, valid))
             examples += D.build_examples(pos, valid, args.dt,
                                          history_len=args.history_len,
                                          horizon=args.horizon,
-                                         max_agents=args.max_agents)
+                                         max_agents=args.max_agents,
+                                         types=types)
 
     if args.augment_rotations > 0:
         rng = np.random.default_rng(0)
@@ -86,7 +94,9 @@ def load_processed(path):
     """Load a processed .npz back into a stacked SceneBatch."""
     from sicnav_tpu.diffusion.data import SceneBatch
     z = np.load(path)
-    return SceneBatch(**{k: z[k] for k in SceneBatch._fields})
+    # node_type is absent in pre-round-4 npz files (single-class era)
+    return SceneBatch(**{k: (z[k] if k in z.files else None)
+                          for k in SceneBatch._fields})
 
 
 if __name__ == "__main__":

@@ -35,6 +35,10 @@ class SceneBatch(NamedTuple):
     fut_mask: (A, T_f)
     agent_mask: (A,) agents present at the prediction time
     neighbor_mask: (A, A) [target, neighbor] adjacency (attention radius)
+    node_type: (A,) int32 class code into NODE_TYPES — the per-node-type
+        dispatch signal (the reference builds one MGCVAE per node type and
+        dispatches per class, encoders/trajectron.py:318; here one batched
+        encoder is class-conditioned on this code, models.TrajectronEncoder)
     """
     hist: np.ndarray
     hist_mask: np.ndarray
@@ -42,6 +46,14 @@ class SceneBatch(NamedTuple):
     fut_mask: np.ndarray
     agent_mask: np.ndarray
     neighbor_mask: np.ndarray
+    node_type: np.ndarray = None
+
+    def types(self):
+        """node_type, defaulting to all-PEDESTRIAN for batches from
+        single-class sources (None keeps old npz/pkl files loadable)."""
+        if self.node_type is None:
+            return np.zeros(self.agent_mask.shape, np.int32)
+        return self.node_type
 
 
 def tracks_to_state(pos, valid, dt):
@@ -55,12 +67,15 @@ def tracks_to_state(pos, valid, dt):
 
 
 def build_examples(pos, valid, dt, history_len=6, horizon=8, max_agents=None,
-                   stride=1):
+                   stride=1, types=None):
     """Slice a scene's tracks into per-timestep SceneBatch examples.
 
-    pos: (A, T, 2); valid: (A, T) bool.
+    pos: (A, T, 2); valid: (A, T) bool; types: (A,) int class codes into
+    NODE_TYPES (None = all PEDESTRIAN).
     """
     A, T, _ = pos.shape
+    if types is None:
+        types = np.zeros((A,), np.int32)
     if max_agents is None:
         max_agents = A
     state = tracks_to_state(pos, valid, dt)
@@ -103,7 +118,8 @@ def build_examples(pos, valid, dt, history_len=6, horizon=8, max_agents=None,
             fut_vel=pad(fut_vel).astype(np.float32),
             fut_mask=pad(fut_mask).astype(bool),
             agent_mask=pad(agent_mask).astype(bool),
-            neighbor_mask=pad(pad(neighbor_mask).T).T.astype(bool)))
+            neighbor_mask=pad(pad(neighbor_mask).T).T.astype(bool),
+            node_type=pad(types[order]).astype(np.int32)))
     return out
 
 
@@ -123,6 +139,9 @@ def rotate_scene(batch: SceneBatch, theta: float) -> SceneBatch:
 
 
 def stack_batches(examples: List[SceneBatch]) -> SceneBatch:
+    # .types() materializes node_type for old single-class examples so a
+    # mixed/None list still stacks to one dense (B, A) int32 array
+    examples = [e._replace(node_type=e.types()) for e in examples]
     return SceneBatch(*[np.stack([getattr(e, f) for e in examples])
                         for f in SceneBatch._fields])
 

@@ -67,6 +67,16 @@ class JMIDModel(nn.Module):
         neigh = jnp.broadcast_to(batch.hist[None], (A,) + batch.hist.shape)
         target_pos = jnp.broadcast_to(cur_pos[:, None, :], (A, A, 2))
         neigh_st = standardize_history(neigh, target_pos)
+        if self.cfg.num_node_types > 1:
+            # per-node-type dispatch (encoders/trajectron.py:318): each
+            # agent is routed by ITS class code; every neighbor slot a
+            # carries agent a's class
+            types = jnp.asarray(batch.types(), jnp.int32)
+            neigh_types = jnp.broadcast_to(types[None], (A, A))
+            return self.encoder(hist_st, batch.hist_mask, neigh_st,
+                                batch.neighbor_mask,
+                                deterministic=deterministic,
+                                node_type=types, neigh_type=neigh_types)
         return self.encoder(hist_st, batch.hist_mask, neigh_st,
                             batch.neighbor_mask, deterministic=deterministic)
 

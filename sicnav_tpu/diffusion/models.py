@@ -47,6 +47,14 @@ class ModelConfig:
     # joint/marginal mode.
     diffnet: str = ""
     residual: bool = False          # TrajNet's residual flag (diffusion.py:70)
+    # per-node-type dispatch: the reference instantiates one MGCVAE per
+    # node type and routes each node through its class's weights
+    # (encoders/trajectron.py:318 + model_registrar). The TPU-first
+    # equivalent is ONE batched encoder conditioned on a learned class
+    # embedding (injected into every history/edge frame and FiLM-added to
+    # the context) — class routing without ragged per-class batches.
+    # 1 = single-class (no embedding params; old checkpoints load as-is).
+    num_node_types: int = 1
 
 
 class _MaskedLSTMCell(nn.Module):
@@ -118,8 +126,35 @@ class TrajectronEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, hist, hist_mask, neigh_hist, neigh_mask,
-                 deterministic: bool = True):
+                 deterministic: bool = True, node_type=None,
+                 neigh_type=None):
         cfg = self.cfg
+        if cfg.num_node_types > 1:
+            # class-conditioned dispatch (one batched encoder instead of
+            # the reference's per-node-type MGCVAE copies,
+            # encoders/trajectron.py:318): a learned class embedding is
+            # appended to every history/edge input frame so the LSTM
+            # kernels see the class from step one, and FiLM-added to the
+            # final context so the denoiser conditioning carries it too
+            if node_type is None:
+                node_type = jnp.zeros(hist.shape[:-2], jnp.int32)
+            emb = nn.Embed(cfg.num_node_types, 16, name="class_embed")(
+                node_type)
+            emb_t = jnp.broadcast_to(emb[..., None, :],
+                                     hist.shape[:-1] + (16,))
+            hist = jnp.concatenate([hist, emb_t], axis=-1)
+            # edge-type conditioning: neighbors carry THEIR class into the
+            # summed edge states (the reference keys edge encoders by the
+            # (node, neighbor)-type pair)
+            if neigh_type is None:
+                neigh_type = jnp.zeros(neigh_hist.shape[:-2], jnp.int32)
+            n_emb = nn.Embed(cfg.num_node_types, 16, name="edge_class_embed")(
+                neigh_type)
+            n_emb_t = jnp.broadcast_to(n_emb[..., None, :],
+                                       neigh_hist.shape[:-1] + (16,))
+            neigh_hist = jnp.concatenate([neigh_hist, n_emb_t], axis=-1)
+        else:
+            emb = None
         # node history encoder
         h_enc = LSTMEncoder(cfg.enc_rnn_dim, name="history_lstm")(
             hist, hist_mask)
@@ -142,7 +177,12 @@ class TrajectronEncoder(nn.Module):
             e_enc[..., None, :], h_enc)
         e_infl = nn.Dropout(cfg.rnn_dropout, deterministic=deterministic)(e_infl)
 
-        return jnp.concatenate([e_infl, h_enc], axis=-1)
+        ctx = jnp.concatenate([e_infl, h_enc], axis=-1)
+        if emb is not None:
+            # FiLM-style class shift on the context so the denoiser's
+            # conditioning carries the class even when histories coincide
+            ctx = ctx + nn.Dense(ctx.shape[-1], name="class_film")(emb)
+        return ctx
 
 
 class ConcatSquashLinear(nn.Module):
