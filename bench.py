@@ -82,12 +82,20 @@ def main():
     dt = times[len(times) // 2]
 
     steps_per_sec = B * T / dt
+    # spread across the 9 reps (the pinned contract, BASELINE.json
+    # "bench_contract": median + IQR so run-to-run drift is visible in
+    # every BENCH_r*.json instead of only across rounds)
+    q1 = B * T / times[(3 * len(times)) // 4]   # slower quartile time
+    q3 = B * T / times[len(times) // 4]
     baseline = 10_000.0
     print(json.dumps({
         "metric": "vmapped env steps/sec/chip (circle-crossing, 5 ORCA humans + DWA robot)",
         "value": round(steps_per_sec, 1),
         "unit": "env_steps/s",
         "vs_baseline": round(steps_per_sec / baseline, 3),
+        "iqr": [round(q1, 1), round(q3, 1)],
+        "config": {"B": B, "T": T, "dwa_window": [dcfg.n_v, dcfg.n_w],
+                   "reps": 9, "stat": "median"},
     }))
 
 

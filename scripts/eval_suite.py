@@ -85,6 +85,11 @@ def main():
                    action=argparse.BooleanOptionalAction, default=True,
                    help="cascade tightening: e-brake when the adopted "
                         "guess's exact rollout predicts a collision")
+    p.add_argument("--hard_wall_stages", type=int, default=0,
+                   help="leading horizon stages (1..n) whose robot-wall "
+                        "rows are HARD (not slack-shifted) — the "
+                        "SLACKED/HARD sorting lever for wall-episode "
+                        "reduction (campc_acados_opt.py:264-374)")
     p.add_argument("--multi_start", type=int, default=1,
                    help="batched multi-start NLP solves per control step "
                         "(campc._build_starts): 1 = single-start cascade, "
@@ -187,6 +192,7 @@ def main():
                 "brake_on_unreal_guess": args.brake_on_unreal_guess,
                 "brake_horizon": args.brake_horizon,
                 "multi_start": args.multi_start,
+                "hard_wall_stages": args.hard_wall_stages,
                 **({"wall_margin": args.wall_margin}
                    if args.wall_margin is not None else {})})
         if args.noise_std > 0:
@@ -223,6 +229,7 @@ def main():
             brake_on_unreal_guess=args.brake_on_unreal_guess,
             brake_horizon=args.brake_horizon,
             multi_start=args.multi_start,
+            hard_wall_stages=args.hard_wall_stages,
             # plain default OFF (published baselines); opt in with
             # --door_yield
             door_yield=bool(args.door_yield))

@@ -56,6 +56,7 @@ def test_ddim_sampling_shapes_and_determinism():
     assert np.isfinite(np.asarray(out3)).all()
 
 
+@pytest.mark.slow
 def test_kde_ranking_prefers_mode():
     # 19 clustered samples + 1 far outlier: outlier must rank last
     rng = np.random.default_rng(0)
@@ -361,6 +362,7 @@ def test_load_trajectory_file_multiclass(tmp_path):
     assert pos.shape[0] == 1          # interpolated flag != class filter
 
 
+@pytest.mark.slow
 def test_node_type_class_conditioning():
     """Per-node-type dispatch (VERDICT r3 #4; reference builds one MGCVAE
     per node type, encoders/trajectron.py:318): with num_node_types > 1

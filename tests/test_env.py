@@ -1,6 +1,7 @@
 """Environment semantics tests (reset determinism, step integration,
 reward/termination parity, batching)."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -36,6 +37,7 @@ def test_reset_min_separation():
                 assert d >= hr[i] + hr[j] + CFG.rewards.discomfort_dist - 1e-5
 
 
+@pytest.mark.slow
 def test_unicycle_integration():
     s = CS.reset_host(CFG, case=0)
     a = jnp.array([0.8, 0.3])
@@ -136,6 +138,7 @@ def test_step_masked_freezes_done():
     assert float(rew) == 0.0
 
 
+@pytest.mark.slow
 def test_hallway_door_intermediate_goal():
     cfg = EnvConfig()  # hallway_bottleneck, orca_plus
     s = CS.reset_host(cfg, case=0, phase="test")
@@ -153,6 +156,7 @@ def test_hallway_door_intermediate_goal():
             np.testing.assert_allclose(hg[i], fg[i], atol=1e-6)
 
 
+@pytest.mark.slow
 def test_batch_rollout_matches_single():
     from sicnav_tpu.policies.orca_robot import orca_robot_action
     cfg = EnvConfig(scenario="circle_crossing", human_policy="orca",
@@ -210,6 +214,7 @@ def test_scenario_generator_golden():
         vp2[:3], [0.791025, 1.408492, 0.94045], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_device_square_crossing_distribution():
     """The device square_crossing generator matches the host (reference
     crowd_sim_plus.py:484-520) distribution: KS-style comparison of the

@@ -2,6 +2,7 @@
 import os
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -43,6 +44,7 @@ def test_config_hash_stable():
     assert len(config_hash(p)) == 32
 
 
+@pytest.mark.slow
 def test_harness_small_suite():
     from sicnav_tpu.policies.orca_robot import orca_robot_action
     cfg = EnvConfig(scenario="circle_crossing", human_policy="orca",
@@ -76,6 +78,7 @@ def test_robustness_noise_wrapper():
     np.testing.assert_array_equal(p1, np.asarray(seen["h_pos"]))
 
 
+@pytest.mark.slow
 def test_two_step_lookahead():
     from sicnav_tpu.rl import dqn as D
     cfg = EnvConfig(scenario="circle_crossing", human_policy="linear",

@@ -31,6 +31,7 @@ def setup(ocp):
     return state, params
 
 
+@pytest.mark.slow
 def test_ocp_shapes(ocp, setup):
     _, params = setup
     z = jnp.zeros(MPC.n_z)
@@ -62,6 +63,7 @@ def test_rollout_dynamics(ocp, setup):
                                np.asarray(X_hums[0, :, :2]), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_warmstart_feasibility(ocp, setup):
     _, params = setup
     z = ocp.infer_slacks(WS.warmstart_horizon(ocp, params), params)
@@ -73,6 +75,7 @@ def test_warmstart_feasibility(ocp, setup):
     assert float(jnp.max(jnp.abs(eq))) < 1e-3
 
 
+@pytest.mark.slow
 def test_isolated_human_tracks_v_pref(ocp, setup):
     """A far-from-everything human's warmstart velocity ~ its pref velocity."""
     state, params = setup
@@ -359,6 +362,7 @@ def test_bring_fwd_discrepancy_rebuilds_warmstart():
         np.asarray(z_fresh), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_introspection_reports(ocp, setup):
     """Named constraint groups + argmax-violated decode + instrumented solve
     (the reference's debug_material / argmax-violated-constraint tooling)."""
@@ -848,3 +852,54 @@ def test_multi_start_campc_runs_and_improves_worst_case():
     # implies positive margin
     if not bool(aux.use_guess):
         assert float(aux.exact_margin) > 0.0
+
+
+@pytest.mark.slow
+def test_hard_wall_stages_rows():
+    """hard_wall_stages removes the slack shift from the stage-1..n wall
+    rows (SLACKED/HARD sorting, campc_acados_opt.py:264-374): with a big
+    stat slack, the slacked config's rows go feasible while the hard
+    config's stage-1..n rows keep the RAW violation; stage 0 (measured
+    state) stays slacked in both; infer_slacks sizes the stat slack from
+    the slacked rows only."""
+    env = ENV
+    cfg_s = MPCConfig(num_hums=2, num_walls=2, priviledged_info=True)
+    cfg_h = dataclasses.replace(cfg_s, hard_wall_stages=2)
+    state = CS.reset_host(env, case=1)
+    # a wall right under the robot so every stage violates
+    wall = jnp.array([[state.r_pos[0] - 2.0, state.r_pos[1]],
+                      [state.r_pos[0] + 2.0, state.r_pos[1]]])
+    state = state._replace(
+        walls=jnp.zeros_like(state.walls).at[0].set(wall),
+        wall_mask=jnp.zeros_like(state.wall_mask).at[0].set(True))
+
+    ocp_s, ocp_h = OCP(cfg_s), OCP(cfg_h)
+    params_s = C.build_params(ocp_s, state, env)
+    params_h = C.build_params(ocp_h, state, env)
+
+    u_rob, u_hums, lam, slacks = ocp_s.unpack(jnp.zeros(cfg_s.n_z))
+    big = slacks._replace(stat=jnp.asarray(1e4, jnp.float32))
+    z_big = ocp_s.pack(u_rob, u_hums, lam, big)
+
+    W, K1 = cfg_s.num_walls, cfg_s.K + 1
+    rows_s = ocp_s.ineq_residuals(z_big, params_s)
+    rows_h = ocp_h.ineq_residuals(z_big, params_h)
+    stat_lo = (cfg_s.K + 1) * cfg_s.num_hums
+    stat_s = np.asarray(rows_s[stat_lo:stat_lo + W * K1]).reshape(W, K1)
+    stat_h = np.asarray(rows_h[stat_lo:stat_lo + W * K1]).reshape(W, K1)
+    # slacked config: every active row shifted feasible by the big slack
+    assert np.all(stat_s[0] < 0)
+    # hard config: stages 1..2 keep the raw violation, others shifted
+    assert np.all(stat_h[0, 1:3] > 0)
+    assert stat_h[0, 0] < 0 and np.all(stat_h[0, 3:] < 0)
+
+    # infer_slacks: stat slack sized from slacked rows only — with a wall
+    # violated ONLY inside the hard window, the hard config's slack is 0
+    z0 = jnp.zeros(cfg_s.n_z)
+    g = ocp_h._ineq_groups(z0, params_h)
+    mask = np.asarray(ocp_h._stat_soft_mask())
+    raw = np.asarray(g["stat"][0])
+    z_inf = ocp_h.infer_slacks(z0, params_h)
+    _, _, _, s_inf = ocp_h.unpack(z_inf)
+    want = max(float(np.max(raw * mask)), 0.0) / cfg_h.slack_sc
+    np.testing.assert_allclose(float(s_inf.stat), want, rtol=1e-5)

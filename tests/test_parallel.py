@@ -51,6 +51,7 @@ def test_sharded_ipm_batch_matches_unsharded():
                                np.clip(np.asarray(targets), -1, 1), atol=5e-2)
 
 
+@pytest.mark.slow
 def test_sharded_env_rollout_matches_unsharded():
     """Batched env stepping produces identical trajectories sharded vs not
     (the dryrun path, with a psum-style mean reduction)."""

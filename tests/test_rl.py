@@ -34,6 +34,7 @@ def test_input_transformation():
     np.testing.assert_allclose(out[12], 0.55, atol=1e-6)             # r_sum
 
 
+@pytest.mark.slow
 def test_sarl_mask_invariance():
     """Padded human slots must not change the value."""
     net = SARLNetwork()
@@ -48,6 +49,7 @@ def test_sarl_mask_invariance():
     np.testing.assert_allclose(float(v1), float(v2), rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_lookahead_matches_step():
     state = CS.reset_host(ENV, case=0)
     actions = D.build_action_space(ENV, DQN)
@@ -133,6 +135,7 @@ def test_rgl_forward_finite():
     assert np.isfinite(float(v))
 
 
+@pytest.mark.slow
 def test_il_labels_match_reference_formula():
     """IL value labels = full discounted reward-to-go per visited state
     (explorer.update_memory:108-117): oracle check on a toy reward sequence

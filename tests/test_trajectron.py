@@ -101,6 +101,7 @@ def test_unicycle_dynamics():
     assert pos_b.shape == (3, 6, 2)
 
 
+@pytest.mark.slow
 def test_cnn_map_encoder():
     enc = TJ.CNNMapEncoder(output_size=32)
     x = jnp.ones((2, 50, 50, 3))

@@ -1,6 +1,7 @@
 """Parity tests for exact wall clamping vs a scalar oracle of the reference
 algorithm (crowd_sim_plus.py constrain_agent_action_exact :869-989)."""
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from sicnav_tpu.env import wall_clamp as WC
@@ -125,6 +126,7 @@ def test_corner_case():
     np.testing.assert_allclose(got, want, atol=1e-2)
 
 
+@pytest.mark.slow
 def test_random_parity():
     rng = np.random.default_rng(5)
     bad = 0
