@@ -30,6 +30,20 @@ def main():
     p.add_argument("--dt", type=float, default=0.4)
     p.add_argument("--val_fraction", type=float, default=0.15)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--hard", action="store_true",
+                   help="harder distribution (VERDICT r3 #5 — the plain "
+                        "ORCA/SFM crowds are an order of magnitude easier "
+                        "than real pedestrians): mid-rollout goal "
+                        "switching (agents re-target a fresh arena point "
+                        "every segment, so constant-intent extrapolation "
+                        "fails), per-scene preferred-speed scaling "
+                        "(0.6-1.4x — the dynamics-diversity role of the "
+                        "reference's variable frame rates), and tracker "
+                        "observation noise on the recorded positions")
+    p.add_argument("--segments", type=int, default=3,
+                   help="goal-switch segments per rollout (--hard)")
+    p.add_argument("--obs_noise", type=float, default=0.05,
+                   help="recorded-position noise std in m (--hard)")
     args = p.parse_args()
 
     import jax
@@ -50,14 +64,54 @@ def main():
                         human_num=args.humans, max_humans=args.humans,
                         starts_moving=0, robot_kinematics="holonomic",
                         time_limit=args.steps * args.dt + 1)
+        import jax.numpy as jnp
         keys = jax.random.split(jax.random.PRNGKey(args.seed + bi), n)
         states = jax.vmap(lambda k: CS.reset_device(k, cfg))(keys)
-        _, _, traj = R.batch_rollout(
-            states, lambda s: orca_robot_action(s, cfg), cfg,
-            max_steps=args.steps)
+        policy = lambda s: orca_robot_action(s, cfg)
+        if args.hard:
+            # preferred-speed diversity: per-scene 0.6-1.4x scaling
+            kb = jax.random.PRNGKey(10_000 + args.seed + bi)
+            k_sp, k_seg = jax.random.split(kb)
+            scale = jax.random.uniform(k_sp, (n, 1), minval=0.6, maxval=1.4)
+            states = states._replace(h_v_pref=states.h_v_pref * scale)
+            # segmented rollout with goal switching: every segment each
+            # agent re-targets a fresh point on the arena circle
+            seg = max(args.steps // args.segments, 8)
+            parts = []
+            cur = states
+            for si in range(args.segments):
+                if si > 0:
+                    k_seg, kh, kr = jax.random.split(k_seg, 3)
+                    H = cur.h_goal.shape[1]
+                    radius = float(getattr(cfg, "circle_radius", 4.0))
+                    ang = jax.random.uniform(kh, (n, H), minval=0.0,
+                                             maxval=2 * np.pi)
+                    new_g = radius * jnp.stack([jnp.cos(ang), jnp.sin(ang)],
+                                               -1)
+                    ang_r = jax.random.uniform(kr, (n,), minval=0.0,
+                                               maxval=2 * np.pi)
+                    new_rg = radius * jnp.stack([jnp.cos(ang_r),
+                                                 jnp.sin(ang_r)], -1)
+                    cur = cur._replace(
+                        h_goal=new_g, r_goal=new_rg,
+                        done=jnp.zeros_like(cur.done),
+                        t=jnp.zeros_like(cur.t))
+                final, _, traj_s = R.batch_rollout(cur, policy, cfg,
+                                                   max_steps=seg)
+                parts.append(traj_s)
+                cur = final
+            traj = jax.tree.map(
+                lambda *xs: jnp.concatenate(xs, axis=1), *parts)
+        else:
+            _, _, traj = R.batch_rollout(states, policy, cfg,
+                                         max_steps=args.steps)
         h_pos = np.asarray(traj.h_pos)        # (B, T, H, 2) batch-major?
         r_pos = np.asarray(traj.r_pos)
         h_mask = np.asarray(traj.h_mask)
+        if args.hard and args.obs_noise > 0:
+            nrng = np.random.default_rng(777 + args.seed + bi)
+            h_pos = h_pos + nrng.normal(0, args.obs_noise, h_pos.shape)
+            r_pos = r_pos + nrng.normal(0, args.obs_noise, r_pos.shape)
         # batch_rollout vmaps episodes: axes are (B, T, ...)
         for b in range(n):
             pos = np.concatenate([h_pos[b], r_pos[b][:, None, :]], axis=1)
