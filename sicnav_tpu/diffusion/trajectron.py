@@ -180,6 +180,40 @@ def sample_p(p_logits, key, num_samples: int, mode: str = "full"):
 # Map encoder (components/map_encoder.py)
 
 
+def npair_loss(x, target, valid, tao: float = 1.0, l2_reg: float = 0.02):
+    """DisDis N-pair loss (mgcvae.py:1391-1394 + components/n_pair_loss.py;
+    Sohn 2016): pull together the context embeddings of agents whose
+    most-likely latent class matches, push apart across classes.
+
+    TPU-first determinization: the reference draws ONE random
+    (anchor, positive) per class on the host and uses the other classes'
+    positives as negatives — dynamic shapes and host RNG. Here the SAME
+    objective is computed over ALL valid same-class (i, j) pairs with
+    every cross-class k as a negative, masked and averaged — a
+    deterministic, static-shape superset of the reference's sampled
+    estimator (its expectation over draws). The reference's l2 term is
+    computed on the L2-NORMALIZED embeddings (n_pair_loss.py:30-44), so
+    it is the constant 2*l2_reg; reproduced for value parity.
+
+    x: (A, D) embeddings; target: (A,) int class ids; valid: (A,) bool.
+    """
+    e = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+    s = e @ e.T                                            # (A, A)
+    vv = valid[:, None] & valid[None, :]
+    eye = jnp.eye(x.shape[0], dtype=bool)
+    same = (target[:, None] == target[None, :]) & vv & ~eye
+    diff = (target[:, None] != target[None, :]) & vv
+    # pair (i, j) same-class: logits over negatives k != class(i):
+    # a_i . (n_k - p_j) = s_ik - s_ij
+    z = (s[:, None, :] - s[:, :, None]) / tao              # (i, j, k)
+    ex = jnp.where(diff[:, None, :], jnp.exp(z), 0.0)
+    pair_loss = jnp.log1p(jnp.sum(ex, axis=-1))            # (i, j)
+    n_pairs = jnp.sum(same)
+    loss = jnp.sum(jnp.where(same, pair_loss, 0.0)) / jnp.maximum(n_pairs, 1)
+    l2 = 2.0 * l2_reg                                      # see docstring
+    return jnp.where(n_pairs > 0, loss + l2, 0.0)
+
+
 class CNNMapEncoder(nn.Module):
     """Conv stack + dense over a local map patch; leaky-relu(0.2) between
     convs exactly as map_encoder.py:30-35."""
@@ -272,6 +306,9 @@ class CVAETrajectron(nn.Module):
     kl_min: float = 0.07
     kl_weight: float = 1.0
     logit_clip: float = 5.0
+    # DisDis NPairLoss weight (trajectron_hypers.py:93 npl_rate = 0.8;
+    # mgcvae.train_loss:1391-1400 adds npl_rate * NPairLoss(x, argmax p))
+    npl_rate: float = 0.8
 
     def setup(self):
         self.encoder = TrajectronEncoder(self.cfg)
@@ -321,8 +358,8 @@ class CVAETrajectron(nn.Module):
                 jnp.stack(corrs, -1))
 
     def train_loss(self, batch, key):
-        """Exact discrete ELBO (train_loss:1327-1433, sans the DisDis
-        NPairLoss which rides a disabled-by-default npl schedule)."""
+        """Exact discrete ELBO + DisDis NPairLoss (train_loss:1327-1433:
+        loss = -ELBO + npl_rate * NPairLoss(x, argmax p(z|x)))."""
         T = self.cfg.horizon
         x = self.encode_x(batch, deterministic=True)
         y_e = self.encode_future(batch)
@@ -351,7 +388,11 @@ class CVAETrajectron(nn.Module):
         kl = kl_q_p(q_logits, p_logits, self.kl_min)
         mi_p = mutual_inf(p_logits)
         elbo = log_likelihood - self.kl_weight * kl + 1.0 * mi_p
-        return -elbo
+        # DisDis: discriminate context embeddings by most-likely latent
+        # class (mgcvae.py:1385-1391 eye_mat[argmax p] -> NPairLoss(x, .))
+        x_target = jnp.argmax(p_logits.reshape(A, -1), axis=-1)
+        npl = npair_loss(x, x_target, batch.agent_mask)
+        return -elbo + self.npl_rate * npl
 
     def __call__(self, batch, key):
         return self.train_loss(batch, key)

@@ -146,3 +146,37 @@ def test_cvae_trains_and_predicts():
                                method=TJ.CVAETrajectron.predict)
     assert out_full.shape == (2 * 5, A, 8, 2) and nc == 5
     assert np.isfinite(np.asarray(out_full)).all()
+
+
+def test_npair_loss_disdis():
+    """DisDis NPairLoss (mgcvae.py:1391-1394): same-class embeddings that
+    cluster tightly while classes separate give a LOWER loss than the same
+    labels on anti-clustered embeddings; no same-class pair -> exactly 0;
+    invalid agents are excluded from pairs and negatives."""
+    import numpy as np
+    rng = np.random.default_rng(0)
+    target = jnp.array([0, 0, 1, 1])
+    valid = jnp.ones(4, bool)
+    base = rng.normal(size=(2, 8)).astype(np.float32) * 3
+    clustered = jnp.asarray(np.concatenate(
+        [base[0] + rng.normal(0, .01, (2, 8)),
+         base[1] + rng.normal(0, .01, (2, 8))]).astype(np.float32))
+    # anti-clustered: each class contains one member of each mode
+    anti = jnp.asarray(np.stack(
+        [base[0], base[1], base[0] + 0.01, base[1] + 0.01]).astype(np.float32))
+    lo = float(TJ.npair_loss(clustered, target, valid))
+    hi = float(TJ.npair_loss(anti, target, valid))
+    assert lo < hi, (lo, hi)
+
+    # all-distinct classes: no pairs -> 0
+    none = float(TJ.npair_loss(clustered, jnp.array([0, 1, 2, 3]), valid))
+    assert none == 0.0
+
+    # masking: invalidating one class's second member removes its pair
+    v2 = jnp.array([True, True, True, False])
+    only_c0 = float(TJ.npair_loss(clustered, target, v2))
+    assert only_c0 != lo
+
+    # gradient flows
+    g = jax.grad(lambda e: TJ.npair_loss(e, target, valid))(clustered)
+    assert np.isfinite(np.asarray(g)).all() and np.abs(np.asarray(g)).max() > 0
