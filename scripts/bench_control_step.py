@@ -47,6 +47,9 @@ def main():
     p.add_argument("--encoder_dim", type=int, default=128)
     p.add_argument("--tf_layer", type=int, default=2)
     p.add_argument("--ipm_iters", type=int, default=30)
+    p.add_argument("--multi_start", type=int, default=1,
+                   help="starts per solve for the plain-CAMPC row "
+                        "(campc._build_starts vmapped IPM)")
     args = p.parse_args()
 
     from sicnav_tpu.env.types import EnvConfig
@@ -82,7 +85,14 @@ def main():
 
     # 2. plain CAMPC solve (same settings as the fused step)
     settings = ipm.IPMSettings(n_iter=args.ipm_iters)
-    ocp, policy = C.make_policy(cfg, settings=settings)
+    mpc_cfg = None
+    if args.multi_start > 1:
+        from sicnav_tpu.mpc.ocp import MPCConfig
+        mpc_cfg = MPCConfig(num_hums=cfg.max_humans,
+                            num_walls=cfg.wall_slots, dt=cfg.dt,
+                            multi_start=args.multi_start)
+        out["multi_start"] = args.multi_start
+    ocp, policy = C.make_policy(cfg, mpc_cfg, settings=settings)
     carry = C.init_carry(ocp)
     out["campc_solve_ms"] = timeit(lambda s, c: policy(s, c)[0], state, carry)
 
