@@ -15,8 +15,14 @@ import jax
 import numpy as np
 
 
-def generate_sim_scenes(n_scenes, cfg, seed=0, steps=60):
-    """Roll batched envs with ORCA humans + ORCA robot to produce scenes."""
+def generate_sim_scenes(n_scenes, cfg, seed=0, steps=60,
+                        multi_class=False, history_len=6, horizon=8):
+    """Roll batched envs with ORCA humans + ORCA robot to produce scenes.
+
+    ``multi_class`` includes the robot track typed NODE_TYPES ROBOT while
+    humans are PEDESTRIAN — the sim's equivalent of the reference's JRDB
+    multi-class sources (process_data.py:413-421), driving the
+    per-node-type encoder dispatch."""
     import jax.numpy as jnp
     from sicnav_tpu.env import crowd_sim as CS, rollout as R
     from sicnav_tpu.policies.orca_robot import orca_robot_action
@@ -30,9 +36,15 @@ def generate_sim_scenes(n_scenes, cfg, seed=0, steps=60):
     examples = []
     for b in range(n_scenes):
         scene = jax.tree.map(lambda x: np.asarray(x[b]), traj)
-        pos, valid = D.scenes_from_env_rollout(scene)
-        examples += D.build_examples(pos, valid, cfg.dt, history_len=6,
-                                     horizon=8, stride=4)
+        pos, valid = D.scenes_from_env_rollout(
+            scene, human_only=not multi_class)
+        types = None
+        if multi_class:
+            types = np.zeros((pos.shape[0],), np.int32)
+            types[-1] = D.NODE_TYPES.index("ROBOT")   # robot is last track
+        examples += D.build_examples(pos, valid, cfg.dt,
+                                     history_len=history_len,
+                                     horizon=horizon, stride=4, types=types)
     return examples
 
 
@@ -64,6 +76,10 @@ def main():
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--n_scenes", type=int, default=64)
     p.add_argument("--scenario", default="circle_crossing")
+    p.add_argument("--multi_class", action="store_true",
+                   help="multi-class sim scenes (robot track typed ROBOT) "
+                        "+ per-node-type encoder dispatch "
+                        "(num_node_types=3); reports per-class val ADE/FDE")
     p.add_argument("--encoder_dim", type=int, default=256)
     p.add_argument("--tf_layer", type=int, default=3)
     p.add_argument("--seed", type=int, default=0)
@@ -107,7 +123,8 @@ def main():
             ("circle_crossing", "square_crossing") else "orca_plus",
             human_num=5, max_humans=5, starts_moving=0,
             robot_kinematics="holonomic")
-        examples = generate_sim_scenes(args.n_scenes, env_cfg, args.seed)
+        examples = generate_sim_scenes(args.n_scenes, env_cfg, args.seed,
+                                       multi_class=args.multi_class)
 
     rng = np.random.default_rng(args.seed)
     rng.shuffle(examples)
@@ -120,14 +137,20 @@ def main():
 
     if recipe is not None:
         import dataclasses as _dc
-        model = JMIDModel(recipe.model, joint=recipe.joint)
+        rmodel = recipe.model
+        if args.multi_class:
+            import dataclasses as _dc2
+            rmodel = _dc2.replace(rmodel, num_node_types=3)
+        model = JMIDModel(rmodel, joint=recipe.joint)
         tc = _dc.replace(recipe.train, seed=args.seed,
                          epochs=args.epochs or recipe.train.epochs,
                          batch_size=min(recipe.train.batch_size,
                                         max(len(train), 1)))
     else:
         model = JMIDModel(ModelConfig(context_dim=args.encoder_dim,
-                                      tf_layer=args.tf_layer),
+                                      tf_layer=args.tf_layer,
+                                      num_node_types=(3 if args.multi_class
+                                                      else 1)),
                           joint=args.method == "mid_jp")
         tc = TrainConfig(joint=args.method == "mid_jp", lr=args.lr,
                          epochs=args.epochs or 90,
@@ -159,6 +182,31 @@ def main():
                       "early_stopped": len(history) < tc.epochs,
                       "best_val_ade": min(h["val_ade"] for h in history)}))
     print(json.dumps(history[-3:], indent=2))
+    if args.multi_class:
+        # per-node-type val ADE/FDE (the reference evaluates JRDB
+        # multi-class models per class)
+        import jax.numpy as jnp
+        from sicnav_tpu.diffusion.mid import eval_scene_per_agent
+        key = jax.random.PRNGKey(tc.seed + 13)
+        per = {t: {"ade": [], "fde": []} for t in D.NODE_TYPES}
+        for ex in val:
+            key, k = jax.random.split(key)
+            a, f, ok = eval_scene_per_agent(
+                model, params, jax.tree.map(jnp.asarray, ex), k,
+                tc.eval_samples)
+            a, f, ok = np.asarray(a), np.asarray(f), np.asarray(ok)
+            ty = np.asarray(ex.types())
+            for ti, tn in enumerate(D.NODE_TYPES):
+                m = ok & (ty == ti)
+                per[tn]["ade"] += a[m].tolist()
+                per[tn]["fde"] += f[m].tolist()
+        print(json.dumps({
+            "per_class": {tn: {"n": len(v["ade"]),
+                               "ade": float(np.mean(v["ade"])) if v["ade"]
+                               else None,
+                               "fde": float(np.mean(v["fde"])) if v["fde"]
+                               else None}
+                          for tn, v in per.items()}}, indent=2))
     if args.val_full:
         # full metric sweep on the val scenes (eval_not_sicnav parity)
         import jax.numpy as jnp

@@ -185,6 +185,25 @@ def eval_scene(model: JMIDModel, params, batch: SceneBatch, key,
 
 
 @functools.partial(jax.jit, static_argnames=("model", "n_samples"))
+def eval_scene_per_agent(model: JMIDModel, params, batch: SceneBatch, key,
+                         n_samples: int = 20):
+    """Per-agent min-of-k (ade (A,), fde (A,), valid (A,)) — the
+    aggregation-free form of eval_scene, for per-node-type breakdowns
+    (the reference evaluates JRDB multi-class models per node type)."""
+    pred_vel_pos = model.apply(params, batch, key, n_samples,
+                               method=JMIDModel.sample)
+    p0 = batch.hist[:, -1, 0:2]
+    gt = integrate_velocity_samples(batch.fut_vel[None], p0[None], 0.25)[0]
+    amask = batch.agent_mask & batch.fut_mask.any(axis=-1)
+
+    def per_agent(a):
+        return EV.min_ade_fde(pred_vel_pos[:, a], gt[a], batch.fut_mask[a])
+
+    ades, fdes = jax.vmap(per_agent)(jnp.arange(gt.shape[0]))
+    return ades, fdes, amask
+
+
+@functools.partial(jax.jit, static_argnames=("model", "n_samples"))
 def eval_scene_full(model: JMIDModel, params, batch: SceneBatch, key,
                     n_samples: int = 20):
     """Full metric sweep per scene (eval_not_sicnav parity, mid.py:352+):
