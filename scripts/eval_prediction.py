@@ -46,6 +46,9 @@ def main():
     p.add_argument("--scenario", default="circle_crossing")
     p.add_argument("--num_samples", type=int, default=20)
     p.add_argument("--encoder_dim", type=int, default=256)
+    p.add_argument("--num_node_types", type=int, default=1,
+                   help="class-conditioned checkpoints (per-node-type "
+                        "dispatch); adds a per_class ADE/FDE breakdown")
     p.add_argument("--tf_layer", type=int, default=3)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--full", action="store_true",
@@ -89,7 +92,8 @@ def main():
     if args.method in ("mid", "mid_jp"):
         from sicnav_tpu.diffusion.mid import JMIDModel, load_checkpoint
         model = JMIDModel(ModelConfig(context_dim=args.encoder_dim,
-                                      tf_layer=args.tf_layer),
+                                      tf_layer=args.tf_layer,
+                                      num_node_types=args.num_node_types),
                           joint=args.method == "mid_jp")
         k0 = jax.random.PRNGKey(0)
         one = jax.tree.map(jnp.asarray, examples[0])
@@ -177,11 +181,36 @@ def main():
         ades.append(float(a)); fdes.append(float(f))
         sades.append(float(sa)); sfdes.append(float(sf))
 
+    if model is not None and args.num_node_types > 1:
+        # per-node-type breakdown (reference: JRDB multi-class eval)
+        from sicnav_tpu.diffusion.mid import eval_scene_per_agent
+        per = {t: {"ade": [], "fde": []} for t in D.NODE_TYPES}
+        key2 = jax.random.PRNGKey(args.seed + 99)
+        for batch in examples:
+            key2, k = jax.random.split(key2)
+            a, f, ok = eval_scene_per_agent(
+                model, params, jax.tree.map(jnp.asarray, batch), k,
+                args.num_samples)
+            a, f, ok = np.asarray(a), np.asarray(f), np.asarray(ok)
+            ty = np.asarray(batch.types())
+            for ti, tn in enumerate(D.NODE_TYPES):
+                m = ok & (ty == ti)
+                per[tn]["ade"] += a[m].tolist()
+                per[tn]["fde"] += f[m].tolist()
+        per_class = {tn: {"n": len(v["ade"]),
+                          "ade": float(np.mean(v["ade"])) if v["ade"] else None,
+                          "fde": float(np.mean(v["fde"])) if v["fde"] else None}
+                     for tn, v in per.items()}
+    else:
+        per_class = None
+
     out = {
         "method": args.method, "num_scenes": len(ades),
         "ade": float(np.mean(ades)), "fde": float(np.mean(fdes)),
         "sade": float(np.mean(sades)), "sfde": float(np.mean(sfdes)),
     }
+    if per_class is not None:
+        out["per_class"] = per_class
     if args.full:
         for k, v in extra.items():
             if v:

@@ -77,6 +77,16 @@ class IPMSettings:
     precondition: bool = True   # diagonal z-space scaling from the initial
                                 # Hessian (tames the 1e6-range slack-penalty
                                 # curvature in f32)
+    # best-feasible-iterate fallback (reference cascade step 1: when IPOPT
+    # hits max-iters, the solution callback's last feasible iterate with
+    # inf_pr < 1e-3 is used instead of the final one, campc.py:669-681,
+    # 794-827). Tracks the lowest-cost iterate whose eq/ineq violations
+    # are under feas_tol and returns it whenever the final iterate is
+    # infeasible or costlier. Returned duals always belong to the FINAL
+    # iterate. Off by default to keep measured closed-loop baselines
+    # pinned; opt in per solve.
+    keep_best_feasible: bool = False
+    feas_tol: float = 1e-3
 
 
 def realtime_settings(num_hums: int, with_mid: bool = False,
@@ -343,37 +353,70 @@ def solve(f_fn: Callable, ceq_fn: Callable, cineq_fn: Callable,
     init = IPMState(z0, y0, lam0, s0,
                     jnp.asarray(st.delta_init, dtype),
                     jnp.asarray(jnp.inf, dtype))
+    best0 = (z0, jnp.asarray(jnp.inf, dtype), jnp.asarray(False))
+
+    def track_best(state, best, tr):
+        # best-feasible-iterate tracker (keep_best_feasible): the trace's
+        # f/eq/ineq are evaluated at the PRE-step iterate state.z
+        z_b, f_b, has_b = best
+        f_val, _, _, _, _, eq_v, ineq_v, _, _ = tr
+        feas = (eq_v < st.feas_tol) & (ineq_v < st.feas_tol)
+        better = feas & ((~has_b) | (f_val < f_b))
+        return (jnp.where(better, state.z, z_b),
+                jnp.where(better, f_val, f_b), has_b | feas)
+
     if st.early_exit_tol > 0.0 and not return_trace:
         tol = st.early_exit_tol
 
         def cond_fn(carry):
-            state, it, done = carry
+            state, best, it, done = carry
             return (it < st.n_iter) & ~done
 
         def body_fn(carry):
-            state, it, _ = carry
+            state, best, it, _ = carry
             new_state, tr = step(state, it)
+            if st.keep_best_feasible:
+                best = track_best(state, best, tr)
             _, _, _, _, _, eq_v, ineq_v, kkt_stat, kkt_comp = tr
             done = ((kkt_stat < tol) & (eq_v < tol) & (ineq_v < tol) &
                     (kkt_comp < st.early_exit_comp_tol))
-            return new_state, it + 1, done
+            return new_state, best, it + 1, done
 
-        final, n_used, _ = jax.lax.while_loop(
-            cond_fn, body_fn, (init, jnp.int32(0), jnp.asarray(False)))
+        final, best, n_used, _ = jax.lax.while_loop(
+            cond_fn, body_fn, (init, best0, jnp.int32(0), jnp.asarray(False)))
         trace = None
     else:
-        final, trace = jax.lax.scan(step, init, jnp.arange(st.n_iter))
+        def scan_body(carry, it):
+            state, best = carry
+            new_state, tr = step(state, it)
+            if st.keep_best_feasible:
+                best = track_best(state, best, tr)
+            return (new_state, best), tr
+
+        (final, best), trace = jax.lax.scan(scan_body, (init, best0),
+                                            jnp.arange(st.n_iter))
         n_used = jnp.int32(st.n_iter)
 
-    c_e = ceq_fn(final.z) if m_e else jnp.zeros((0,), dtype)
-    c_i = cineq_fn(final.z)
+    z_fin = final.z
+    if st.keep_best_feasible:
+        z_b, f_b, has_b = best
+        c_e_f = ceq_fn(z_fin) if m_e else jnp.zeros((0,), dtype)
+        c_i_f = cineq_fn(z_fin)
+        fin_feas = ((jnp.max(jnp.abs(c_e_f), initial=0.0) < st.feas_tol) &
+                    (jnp.max(jnp.maximum(c_i_f, 0.0), initial=0.0)
+                     < st.feas_tol))
+        use_best = has_b & ~(fin_feas & (f_fn(z_fin) <= f_b))
+        z_fin = jnp.where(use_best, z_b, z_fin)
+
+    c_e = ceq_fn(z_fin) if m_e else jnp.zeros((0,), dtype)
+    c_i = cineq_fn(z_fin)
     info = IPMInfo(
-        obj=f_fn(final.z),
+        obj=f_fn(z_fin),
         eq_viol=jnp.max(jnp.abs(c_e), initial=0.0),
         ineq_viol=jnp.max(jnp.maximum(c_i, 0.0), initial=0.0),
         comp=jnp.dot(final.s, final.lam) / m_i,
         iters=n_used)
-    z_out = final.z * D if D is not None else final.z
+    z_out = z_fin * D if D is not None else z_fin
     if return_trace and return_duals:
         return z_out, info, trace, (final.y, final.lam, final.s)
     if return_trace:

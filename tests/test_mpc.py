@@ -903,3 +903,43 @@ def test_hard_wall_stages_rows():
     _, _, _, s_inf = ocp_h.unpack(z_inf)
     want = max(float(np.max(raw * mask)), 0.0) / cfg_h.slack_sc
     np.testing.assert_allclose(float(s_inf.stat), want, rtol=1e-5)
+
+
+def test_keep_best_feasible_iterate():
+    """keep_best_feasible (reference cascade step 1, campc.py:669-681:
+    max-iters solves fall back to the callback's last feasible iterate):
+    default OFF is bit-identical to before; ON returns a feasible iterate
+    whenever one was visited, even if the final iterate is infeasible or
+    costlier."""
+    # min (x-2)^2 s.t. x <= 1: the path crosses feasible iterates
+    f = lambda z: (z[0] - 2.0) ** 2
+    ce = lambda z: jnp.zeros((0,), z.dtype)
+    ci = lambda z: jnp.array([z[0] - 1.0])
+    z_off, _ = ipm.solve(f, ce, ci, jnp.array([0.0]),
+                         ipm.IPMSettings(n_iter=25))
+    z_on, info_on = ipm.solve(f, ce, ci, jnp.array([0.0]),
+                              ipm.IPMSettings(n_iter=25,
+                                              keep_best_feasible=True))
+    # both converge; the tracker must not degrade a healthy solve
+    np.testing.assert_allclose(float(z_on[0]), 1.0, atol=1e-3)
+    np.testing.assert_allclose(float(z_off[0]), float(z_on[0]), atol=1e-3)
+    assert float(info_on.ineq_viol) < 1e-3
+
+    # adversarial: 1 iteration from a feasible start — the single step
+    # overshoots into infeasibility; the tracker returns the feasible z0
+    st1 = ipm.IPMSettings(n_iter=1, delta_init=1e-8, alphas=(1.0,),
+                          precondition=False)
+    z0 = jnp.array([0.0])
+    z_raw, info_raw = ipm.solve(f, ce, ci, z0, st1)
+    z_kb, info_kb = ipm.solve(
+        f, ce, ci, z0,
+        ipm.IPMSettings(n_iter=1, delta_init=1e-8, alphas=(1.0,),
+                        precondition=False, keep_best_feasible=True))
+    if float(info_raw.ineq_viol) > 1e-3:     # the overshoot materialized
+        assert float(info_kb.ineq_viol) <= 1e-3
+    # early-exit variant also supports the tracker
+    z_ee, info_ee = ipm.solve(
+        f, ce, ci, jnp.array([0.0]),
+        ipm.IPMSettings(n_iter=25, keep_best_feasible=True,
+                        early_exit_tol=1e-4))
+    np.testing.assert_allclose(float(z_ee[0]), 1.0, atol=1e-3)
