@@ -90,6 +90,10 @@ def main():
                         "rows are HARD (not slack-shifted) — the "
                         "SLACKED/HARD sorting lever for wall-episode "
                         "reduction (campc_acados_opt.py:264-374)")
+    p.add_argument("--evasive_brake", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="max-clearance 5-candidate brake fan instead of the "
+                        "stop-in-place decel (MPCConfig.evasive_brake)")
     p.add_argument("--multi_start", type=int, default=1,
                    help="batched multi-start NLP solves per control step "
                         "(campc._build_starts): 1 = single-start cascade, "
@@ -193,6 +197,7 @@ def main():
                 "brake_horizon": args.brake_horizon,
                 "multi_start": args.multi_start,
                 "hard_wall_stages": args.hard_wall_stages,
+                "evasive_brake": args.evasive_brake,
                 **({"wall_margin": args.wall_margin}
                    if args.wall_margin is not None else {})})
         if args.noise_std > 0:
@@ -230,6 +235,7 @@ def main():
             brake_horizon=args.brake_horizon,
             multi_start=args.multi_start,
             hard_wall_stages=args.hard_wall_stages,
+            evasive_brake=args.evasive_brake,
             # plain default OFF (published baselines); opt in with
             # --door_yield
             door_yield=bool(args.door_yield))

@@ -19,10 +19,12 @@ def generate_sim_scenes(n_scenes, cfg, seed=0, steps=60,
                         multi_class=False, history_len=6, horizon=8):
     """Roll batched envs with ORCA humans + ORCA robot to produce scenes.
 
-    ``multi_class`` includes the robot track typed NODE_TYPES ROBOT while
-    humans are PEDESTRIAN — the sim's equivalent of the reference's JRDB
-    multi-class sources (process_data.py:413-421), driving the
-    per-node-type encoder dispatch."""
+    ``multi_class`` produces all three NODE_TYPES, the sim's equivalent of
+    the reference's JRDB multi-class sources (process_data.py:413-421),
+    driving the per-node-type encoder dispatch: the robot track is typed
+    ROBOT, a random ~30% of humans get 1.7x preferred speed and are typed
+    BICYCLE, the rest are PEDESTRIAN — so class labels correlate with
+    actual dynamics and class-conditioned encoding has signal to use."""
     import jax.numpy as jnp
     from sicnav_tpu.env import crowd_sim as CS, rollout as R
     from sicnav_tpu.policies.orca_robot import orca_robot_action
@@ -30,6 +32,13 @@ def generate_sim_scenes(n_scenes, cfg, seed=0, steps=60,
 
     keys = jax.random.split(jax.random.PRNGKey(seed), n_scenes)
     states = jax.vmap(lambda k: CS.reset_device(k, cfg))(keys)
+    bike = np.zeros((n_scenes, states.h_v_pref.shape[1]), bool)
+    if multi_class:
+        bike = np.asarray(jax.random.bernoulli(
+            jax.random.PRNGKey(seed + 1), 0.3,
+            states.h_v_pref.shape))
+        states = states._replace(
+            h_v_pref=states.h_v_pref * jnp.where(bike, 1.7, 1.0))
     pol = lambda s: orca_robot_action(s, cfg)
     _, _, traj = R.batch_rollout(states, pol, cfg, max_steps=steps)
 
@@ -41,6 +50,8 @@ def generate_sim_scenes(n_scenes, cfg, seed=0, steps=60,
         types = None
         if multi_class:
             types = np.zeros((pos.shape[0],), np.int32)
+            types[:-1][bike[b][:pos.shape[0] - 1]] = \
+                D.NODE_TYPES.index("BICYCLE")
             types[-1] = D.NODE_TYPES.index("ROBOT")   # robot is last track
         examples += D.build_examples(pos, valid, cfg.dt,
                                      history_len=history_len,

@@ -26,7 +26,8 @@ from sicnav_tpu.env.types import EnvConfig, SimState
 from sicnav_tpu.mpc import ipm, warmstart as WS
 from sicnav_tpu.mpc.ocp import MPCConfig, MPCParams, OCP
 from sicnav_tpu.mpc.ref_traj import point_stab_reference
-from sicnav_tpu.ops.geometry import norm2, seg_seg_dist, wrap_angle
+from sicnav_tpu.ops.geometry import (norm2, point_to_segment_dist,
+                                     seg_seg_dist, wrap_angle)
 
 
 class CAMPCCarry(NamedTuple):
@@ -442,6 +443,48 @@ def _brake_profile(ocp: OCP, params: MPCParams):
     return jnp.stack([v, jnp.zeros_like(v)], -1)
 
 
+def _evasive_brake_action(ocp: OCP, params: MPCParams):
+    """Max-margin emergency-brake maneuver: instead of decelerating in a
+    straight line (the reference's brake, campc.py:754-786), evaluate a
+    small fan of constant-turn-rate decel plans (straight, half/full rate
+    left and right) against the EXACT lower-level human rollout and the
+    wall segments, and execute the first action of the plan with the
+    largest worst-case clearance.
+
+    Motivation (round-4 taxonomy, BENCH_EXTRA): with tiered multi-start,
+    every residual collision was `ebrake`-class — the cascade correctly
+    refused all candidate plans as exact-rollout-infeasible, and the
+    stop-in-place brake was then hit anyway. When every plan is doomed,
+    steering toward the emptiest direction while shedding speed collides
+    later and shallower than freezing on the spot. One vmapped 5-candidate
+    exact rollout, evaluated only inside the brake branch (lax.cond)."""
+    cfg = ocp.cfg
+    v0 = ocp.rob_v_prev(params.x0_rob)
+    ks = jnp.arange(1, cfg.K + 1, dtype=jnp.float32)
+    v = jnp.maximum(v0 + cfg.max_l_dcc * cfg.dt * ks, 0.0)
+    omegas = jnp.array([0.0, 0.5, -0.5, 1.0, -1.0], jnp.float32) * cfg.max_rot
+    comb = params.hum_coll_radii + params.rob_radius
+
+    def margin_of(om):
+        u = jnp.stack([v, jnp.full_like(v, om)], -1)
+        Xr, Xh = WS.exact_human_rollout(ocp, params, u)
+        d_h = jnp.linalg.norm(Xr[:, None, :2] - Xh[:, :, :2], axis=-1)
+        m_h = jnp.min(d_h - comb[None, :])
+        d_w = jax.vmap(lambda wall, wmask: jnp.where(
+            wmask,
+            jnp.min(jax.vmap(lambda q: point_to_segment_dist(
+                wall[0], wall[1], q))(Xr[:, :2])),
+            jnp.inf))(params.walls, params.wall_mask)
+        m_w = jnp.min(d_w) - params.rob_radius
+        # a steer-away brake must not trade the human miss for a wall hit:
+        # rank by the worst of the two clearances
+        return jnp.minimum(m_h, m_w)
+
+    margins = jax.vmap(margin_of)(omegas)
+    om_best = omegas[jnp.argmax(margins)]
+    return jnp.stack([v[0], om_best])
+
+
 def _dodge_goal(params: MPCParams):
     """Laterally offset pull target for the side-step start: a point ~1.5 m
     ahead on the goal line, displaced 0.8 m perpendicular AWAY from the
@@ -618,9 +661,17 @@ def campc_action(ocp: OCP, state: SimState, carry: CAMPCCarry,
                                 lambda _: jnp.float32(jnp.inf), None)
         guess_ok = guess_ok & (margin_g > 0.0)
     u_rob, _, _, _ = ocp.unpack(z_used)
-    v_brake = jnp.maximum(ocp.rob_v_prev(params.x0_rob) + cfg.max_l_dcc * cfg.dt, 0.0)
-    action_u = jnp.where(guess_ok | ~use_guess, u_rob[0],
-                         jnp.stack([v_brake, jnp.float32(0.0)]))
+    if cfg.evasive_brake:
+        # max-margin brake fan; lax.cond keeps the 5-candidate exact
+        # rollout off the happy path in the unbatched real-time program
+        action_u = jax.lax.cond(
+            guess_ok | ~use_guess, lambda _: u_rob[0],
+            lambda _: _evasive_brake_action(ocp, params), None)
+    else:
+        v_brake = jnp.maximum(
+            ocp.rob_v_prev(params.x0_rob) + cfg.max_l_dcc * cfg.dt, 0.0)
+        action_u = jnp.where(guess_ok | ~use_guess, u_rob[0],
+                             jnp.stack([v_brake, jnp.float32(0.0)]))
 
     action = jnp.stack([action_u[0], action_u[1] * cfg.dt])
     # stage-1 prediction of the adopted plan: the next step's bring_fwd

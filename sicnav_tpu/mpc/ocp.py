@@ -138,6 +138,18 @@ class MPCConfig:
     # collision-episodes 10% -> 4% (fused) and 11% -> 4% (plain) on the
     # 100-case suite at unchanged success.
     brake_on_unreal_guess: bool = True
+    # evasive brake (round-4 taxonomy follow-up): when the cascade falls
+    # through to the emergency brake, pick the first action of the
+    # max-clearance member of a 5-candidate constant-turn-rate decel fan
+    # (straight, half/full rate left/right), each reality-checked against
+    # the exact lower-level human rollout AND the wall segments — instead
+    # of the reference's stop-in-place decel (campc.py:754-786). Under
+    # tiered multi-start every residual collision was `ebrake`-class
+    # (the brake itself was hit); steering toward the emptiest direction
+    # while shedding speed is strictly better ranked by worst-case
+    # clearance. OFF by default pending the TPU probe (published rows
+    # were measured with the straight brake).
+    evasive_brake: bool = False
     # number of leading horizon stages the brake_on_unreal_guess margin is
     # evaluated over (0 = full horizon). The taxonomy's collision episodes
     # materialized within a few steps of the negative-margin guess, so a
