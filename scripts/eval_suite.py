@@ -94,6 +94,10 @@ def main():
                    default=False,
                    help="max-clearance 5-candidate brake fan instead of the "
                         "stop-in-place decel (MPCConfig.evasive_brake)")
+    p.add_argument("--wall_aware_realism",
+                   action=argparse.BooleanOptionalAction, default=False,
+                   help="exact-rollout realism check includes wall "
+                        "clearance (MPCConfig.wall_aware_realism)")
     p.add_argument("--multi_start", type=int, default=1,
                    help="batched multi-start NLP solves per control step "
                         "(campc._build_starts): 1 = single-start cascade, "
@@ -198,6 +202,7 @@ def main():
                 "multi_start": args.multi_start,
                 "hard_wall_stages": args.hard_wall_stages,
                 "evasive_brake": args.evasive_brake,
+                "wall_aware_realism": args.wall_aware_realism,
                 **({"wall_margin": args.wall_margin}
                    if args.wall_margin is not None else {})})
         if args.noise_std > 0:
@@ -236,6 +241,7 @@ def main():
             multi_start=args.multi_start,
             hard_wall_stages=args.hard_wall_stages,
             evasive_brake=args.evasive_brake,
+            wall_aware_realism=args.wall_aware_realism,
             # plain default OFF (published baselines); opt in with
             # --door_yield
             door_yield=bool(args.door_yield))

@@ -69,10 +69,15 @@ def main():
         states = jax.vmap(lambda k: CS.reset_device(k, cfg))(keys)
         policy = lambda s: orca_robot_action(s, cfg)
         if args.hard:
-            # preferred-speed diversity: per-scene 0.6-1.4x scaling
+            # preferred-speed diversity: PER-AGENT 0.5-1.6x scaling (v2 —
+            # per-scene scaling left each scene internally homogeneous and
+            # the recipe early-stopped at epoch 40; per-agent scaling makes
+            # every neighbor's pace an independent latent the predictor
+            # must infer from history)
             kb = jax.random.PRNGKey(10_000 + args.seed + bi)
             k_sp, k_seg = jax.random.split(kb)
-            scale = jax.random.uniform(k_sp, (n, 1), minval=0.6, maxval=1.4)
+            scale = jax.random.uniform(k_sp, states.h_v_pref.shape,
+                                        minval=0.5, maxval=1.6)
             states = states._replace(h_v_pref=states.h_v_pref * scale)
             # segmented rollout with goal switching: every segment each
             # agent re-targets a fresh point on the arena circle
@@ -112,6 +117,11 @@ def main():
             nrng = np.random.default_rng(777 + args.seed + bi)
             h_pos = h_pos + nrng.normal(0, args.obs_noise, h_pos.shape)
             r_pos = r_pos + nrng.normal(0, args.obs_noise, r_pos.shape)
+            # heavy-tailed tracker glitches (v2): ~3% of recorded points
+            # jump an extra N(0, 0.3 m) — real tracker id-switch/occlusion
+            # artifacts the Gaussian floor does not model
+            gl = nrng.random(h_pos.shape[:-1])[..., None] < 0.03
+            h_pos = h_pos + gl * nrng.normal(0, 0.3, h_pos.shape)
         # batch_rollout vmaps episodes: axes are (B, T, ...)
         for b in range(n):
             pos = np.concatenate([h_pos[b], r_pos[b][:, None, :]], axis=1)

@@ -443,6 +443,17 @@ def _brake_profile(ocp: OCP, params: MPCParams):
     return jnp.stack([v, jnp.zeros_like(v)], -1)
 
 
+def _min_wall_clearance(params: MPCParams, Xr):
+    """Min robot-circle clearance to the active wall segments over a
+    rollout's robot states (inf when no walls)."""
+    d_w = jax.vmap(lambda wall, wmask: jnp.where(
+        wmask,
+        jnp.min(jax.vmap(lambda q: point_to_segment_dist(
+            wall[0], wall[1], q))(Xr[:, :2])),
+        jnp.inf))(params.walls, params.wall_mask)
+    return jnp.min(d_w) - params.rob_radius
+
+
 def _evasive_brake_action(ocp: OCP, params: MPCParams):
     """Max-margin emergency-brake maneuver: instead of decelerating in a
     straight line (the reference's brake, campc.py:754-786), evaluate a
@@ -470,15 +481,9 @@ def _evasive_brake_action(ocp: OCP, params: MPCParams):
         Xr, Xh = WS.exact_human_rollout(ocp, params, u)
         d_h = jnp.linalg.norm(Xr[:, None, :2] - Xh[:, :, :2], axis=-1)
         m_h = jnp.min(d_h - comb[None, :])
-        d_w = jax.vmap(lambda wall, wmask: jnp.where(
-            wmask,
-            jnp.min(jax.vmap(lambda q: point_to_segment_dist(
-                wall[0], wall[1], q))(Xr[:, :2])),
-            jnp.inf))(params.walls, params.wall_mask)
-        m_w = jnp.min(d_w) - params.rob_radius
         # a steer-away brake must not trade the human miss for a wall hit:
         # rank by the worst of the two clearances
-        return jnp.minimum(m_h, m_w)
+        return jnp.minimum(m_h, _min_wall_clearance(params, Xr))
 
     margins = jax.vmap(margin_of)(omegas)
     om_best = omegas[jnp.argmax(margins)]
@@ -582,7 +587,15 @@ def campc_action(ocp: OCP, state: SimState, carry: CAMPCCarry,
         # unconverged-KKT humans get a negative margin
         Xr_ex, Xh_ex = WS.exact_human_rollout(ocp, params, u_rob_plan)
         d_ex = jnp.linalg.norm(Xr_ex[:, None, :2] - Xh_ex[:, :, :2], axis=-1)
-        return jnp.min(d_ex - comb[None, :])
+        m = jnp.min(d_ex - comb[None, :])
+        if cfg.wall_aware_realism:
+            # also refuse plans whose exact replay scrapes a wall — the
+            # slacked wall rows let the NLP trade wall violation for
+            # progress (round-3 taxonomy: half the wall scrapes are
+            # model_mismatch on SUCCESSFUL solves); with multi-start the
+            # rescue basins then take over exactly on those steps
+            m = jnp.minimum(m, _min_wall_clearance(params, Xr_ex))
+        return m
 
     if debug or cfg.multi_start <= 1:
         # single-start (reference-shaped cascade); debug traces need the

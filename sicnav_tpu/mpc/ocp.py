@@ -150,6 +150,16 @@ class MPCConfig:
     # clearance. OFF by default pending the TPU probe (published rows
     # were measured with the straight brake).
     evasive_brake: bool = False
+    # wall-aware exact-rollout realism (round-4, VERDICT r3 #7): the
+    # plan_margin reality check historically scored HUMAN clearance only,
+    # so solutions whose exact replay scrapes a wall still read as
+    # "realistic" and get adopted (the round-3 wall taxonomy's
+    # model_mismatch class: successful solves, predicted clearance, sim
+    # scrape). When ON, plan_margin is min(human margin, wall clearance),
+    # demoting wall-scraping plans in the multi-start tiers and the
+    # single-start acceptance alike. OFF by default pending the TPU probe
+    # (published rows were measured human-only).
+    wall_aware_realism: bool = False
     # number of leading horizon stages the brake_on_unreal_guess margin is
     # evaluated over (0 = full horizon). The taxonomy's collision episodes
     # materialized within a few steps of the negative-margin guess, so a

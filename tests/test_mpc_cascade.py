@@ -584,3 +584,38 @@ def test_campc_evasive_brake_step_runs():
                                  ipm.IPMSettings(n_iter=4))
     assert act.shape == (2,)
     assert bool(jnp.all(jnp.isfinite(act)))
+
+
+def test_min_wall_clearance():
+    """_min_wall_clearance: masked walls are ignored; distance is to the
+    nearest active segment minus the robot radius."""
+    state = CS.reset_host(ENV, case=1)
+    ocp_ = OCP(MPC)
+    params = C.build_params(ocp_, state, ENV)
+    # one active wall: vertical segment x=1 from y=-1..1; one masked
+    walls = jnp.array([[[1.0, -1.0], [1.0, 1.0]],
+                       [[0.0, 0.0], [0.0, 0.1]]])
+    mask = jnp.array([True, False])
+    p2 = params._replace(walls=walls, wall_mask=mask,
+                         rob_radius=jnp.float32(0.3))
+    Xr = jnp.zeros((3, ocp_.cfg.robot_nx))  # robot parked at origin
+    c = float(C._min_wall_clearance(p2, Xr))
+    np.testing.assert_allclose(c, 1.0 - 0.3, atol=1e-6)
+    # all walls masked -> inf
+    p3 = p2._replace(wall_mask=jnp.array([False, False]))
+    assert float(C._min_wall_clearance(p3, Xr)) == float("inf")
+
+
+@pytest.mark.slow
+def test_campc_wall_aware_realism_step_runs():
+    """campc_action compiles and runs with wall_aware_realism=True in both
+    single-start and multi-start modes."""
+    for ms in (1, 2):
+        cfg = dataclasses.replace(MPC, wall_aware_realism=True,
+                                  multi_start=ms)
+        ocp_ = OCP(cfg)
+        state = CS.reset_host(ENV, case=1)
+        act, _ = C.campc_action(ocp_, state, C.init_carry(ocp_), ENV,
+                                ipm.IPMSettings(n_iter=4))
+        assert act.shape == (2,)
+        assert bool(jnp.all(jnp.isfinite(act)))
