@@ -98,6 +98,9 @@ def main():
                    action=argparse.BooleanOptionalAction, default=False,
                    help="exact-rollout realism check includes wall "
                         "clearance (MPCConfig.wall_aware_realism)")
+    p.add_argument("--accept_margin", type=float, default=0.0,
+                   help="minimum exact-rollout clearance (m) for a plan "
+                        "to count as realistic (MPCConfig.accept_margin)")
     p.add_argument("--multi_start", type=int, default=1,
                    help="batched multi-start NLP solves per control step "
                         "(campc._build_starts): 1 = single-start cascade, "
@@ -203,6 +206,7 @@ def main():
                 "hard_wall_stages": args.hard_wall_stages,
                 "evasive_brake": args.evasive_brake,
                 "wall_aware_realism": args.wall_aware_realism,
+                "accept_margin": args.accept_margin,
                 **({"wall_margin": args.wall_margin}
                    if args.wall_margin is not None else {})})
         if args.noise_std > 0:
@@ -242,6 +246,7 @@ def main():
             hard_wall_stages=args.hard_wall_stages,
             evasive_brake=args.evasive_brake,
             wall_aware_realism=args.wall_aware_realism,
+            accept_margin=args.accept_margin,
             # plain default OFF (published baselines); opt in with
             # --door_yield
             door_yield=bool(args.door_yield))

@@ -617,7 +617,7 @@ def campc_action(ocp: OCP, state: SimState, carry: CAMPCCarry,
         finite = jnp.all(jnp.isfinite(z_sols), axis=-1)
         feas = finite & (infos.ineq_viol < 1e-2) & (infos.eq_viol < 1e-1)
         margins = jax.vmap(lambda z: plan_margin(ocp.unpack(z)[0]))(z_sols)
-        ok = feas & (margins > 0.0)
+        ok = feas & (margins > cfg.accept_margin)
         # TIERED selection (round-4 probe: a flat min-cost over all starts
         # let the brake/side-step basins win whenever congestion made
         # slack savings beat tracking cost — success 69% vs 78% control,
@@ -642,7 +642,10 @@ def campc_action(ocp: OCP, state: SimState, carry: CAMPCCarry,
     guess_cost = ocp.cost(z_guess, params)
     sol_finite = jnp.all(jnp.isfinite(z_sol))
     sol_feasible = sol_finite & (info.ineq_viol < 1e-2) & (info.eq_viol < 1e-1)
-    sol_realistic = sol_margin > 0.0
+    # cfg.accept_margin > 0 refuses razor-thin plans (see MPCConfig); the
+    # emergency-brake gate below stays at 0 so a thin-but-clear adopted
+    # guess still executes rather than over-braking
+    sol_realistic = sol_margin > cfg.accept_margin
     # reference: keep warmstart when the "optimized" value is worse (:695-707).
     # Multi-start refinement: the guess only wins on cost if it is itself
     # exact-rollout-realistic — otherwise a cheap-but-colliding guess would
@@ -650,7 +653,8 @@ def campc_action(ocp: OCP, state: SimState, carry: CAMPCCarry,
     # exactly the stale-single-guess failure multi-start exists to fix.
     cost_worse = sol_cost > guess_cost
     if cfg.multi_start > 1 and not debug:
-        cost_worse = cost_worse & (plan_margin(ocp.unpack(z_guess)[0]) > 0.0)
+        cost_worse = cost_worse & (plan_margin(ocp.unpack(z_guess)[0])
+                                   > cfg.accept_margin)
     use_guess = (~sol_feasible) | (~sol_realistic) | cost_worse
     z_used = jnp.where(use_guess, z_guess, z_sol)
 

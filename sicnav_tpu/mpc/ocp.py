@@ -160,6 +160,15 @@ class MPCConfig:
     # single-start acceptance alike. OFF by default pending the TPU probe
     # (published rows were measured human-only).
     wall_aware_realism: bool = False
+    # minimum exact-rollout clearance (m) a plan must keep to count as
+    # realistic (round-4): the ms4-tiered taxonomy's residual collisions
+    # are all ebrake-class with margins already at -0.01..-0.25 m when the
+    # brake engages — by then no maneuver (including the evasive fan, e2
+    # probe) clears. Raising the acceptance bar above 0 refuses the
+    # razor-thin plans that put the robot in that cornered state a step
+    # earlier, while the multi-start rescue basins supply an alternative.
+    # 0.0 = the reference semantics (any positive margin accepted).
+    accept_margin: float = 0.0
     # number of leading horizon stages the brake_on_unreal_guess margin is
     # evaluated over (0 = full horizon). The taxonomy's collision episodes
     # materialized within a few steps of the negative-margin guess, so a
