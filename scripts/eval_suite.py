@@ -101,6 +101,10 @@ def main():
     p.add_argument("--accept_margin", type=float, default=0.0,
                    help="minimum exact-rollout clearance (m) for a plan "
                         "to count as realistic (MPCConfig.accept_margin)")
+    p.add_argument("--brake_margin", type=float, default=0.0,
+                   help="minimum exact-rollout clearance (m) of the "
+                        "adopted guess before the e-brake fires "
+                        "(MPCConfig.brake_margin)")
     p.add_argument("--multi_start", type=int, default=1,
                    help="batched multi-start NLP solves per control step "
                         "(campc._build_starts): 1 = single-start cascade, "
@@ -207,6 +211,7 @@ def main():
                 "evasive_brake": args.evasive_brake,
                 "wall_aware_realism": args.wall_aware_realism,
                 "accept_margin": args.accept_margin,
+                "brake_margin": args.brake_margin,
                 **({"wall_margin": args.wall_margin}
                    if args.wall_margin is not None else {})})
         if args.noise_std > 0:
@@ -247,6 +252,7 @@ def main():
             evasive_brake=args.evasive_brake,
             wall_aware_realism=args.wall_aware_realism,
             accept_margin=args.accept_margin,
+            brake_margin=args.brake_margin,
             # plain default OFF (published baselines); opt in with
             # --door_yield
             door_yield=bool(args.door_yield))

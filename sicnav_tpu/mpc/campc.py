@@ -676,7 +676,7 @@ def campc_action(ocp: OCP, state: SimState, carry: CAMPCCarry,
         # the unbatched real-time path (vmapped fleets select both sides)
         margin_g = jax.lax.cond(use_guess, _guess_margin,
                                 lambda _: jnp.float32(jnp.inf), None)
-        guess_ok = guess_ok & (margin_g > 0.0)
+        guess_ok = guess_ok & (margin_g > cfg.brake_margin)
     u_rob, _, _, _ = ocp.unpack(z_used)
     if cfg.evasive_brake:
         # max-margin brake fan; lax.cond keeps the 5-candidate exact

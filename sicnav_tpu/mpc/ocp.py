@@ -169,6 +169,15 @@ class MPCConfig:
     # earlier, while the multi-start rescue basins supply an alternative.
     # 0.0 = the reference semantics (any positive margin accepted).
     accept_margin: float = 0.0
+    # minimum exact-rollout clearance (m) the ADOPTED GUESS must keep
+    # before the e-brake fires (the brake_on_unreal_guess gate). The e3
+    # taxonomy shows every residual collision window executed a
+    # thin-positive-margin guess for 2-3 steps before the gate (at 0)
+    # finally tripped with margin already negative — too late for any
+    # brake maneuver. brake_margin > 0 trips the brake those 2-3 steps
+    # earlier. 0.0 = reference semantics; pairs with evasive_brake so the
+    # earlier brake steers instead of freezing in the lane.
+    brake_margin: float = 0.0
     # number of leading horizon stages the brake_on_unreal_guess margin is
     # evaluated over (0 = full horizon). The taxonomy's collision episodes
     # materialized within a few steps of the negative-margin guess, so a
