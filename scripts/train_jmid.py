@@ -91,6 +91,11 @@ def main():
                    help="multi-class sim scenes (robot track typed ROBOT) "
                         "+ per-node-type encoder dispatch "
                         "(num_node_types=3); reports per-class val ADE/FDE")
+    p.add_argument("--no_dispatch", action="store_true",
+                   help="ablation: keep --multi_class data + per-class eval "
+                        "but build the encoder with num_node_types=1 (no "
+                        "class/edge-class embeddings) to quantify what the "
+                        "per-node-type dispatch contributes")
     p.add_argument("--encoder_dim", type=int, default=256)
     p.add_argument("--tf_layer", type=int, default=3)
     p.add_argument("--seed", type=int, default=0)
@@ -149,7 +154,7 @@ def main():
     if recipe is not None:
         import dataclasses as _dc
         rmodel = recipe.model
-        if args.multi_class:
+        if args.multi_class and not args.no_dispatch:
             import dataclasses as _dc2
             rmodel = _dc2.replace(rmodel, num_node_types=3)
         model = JMIDModel(rmodel, joint=recipe.joint)
@@ -160,8 +165,9 @@ def main():
     else:
         model = JMIDModel(ModelConfig(context_dim=args.encoder_dim,
                                       tf_layer=args.tf_layer,
-                                      num_node_types=(3 if args.multi_class
-                                                      else 1)),
+                                      num_node_types=(
+                                          3 if args.multi_class
+                                          and not args.no_dispatch else 1)),
                           joint=args.method == "mid_jp")
         tc = TrainConfig(joint=args.method == "mid_jp", lr=args.lr,
                          epochs=args.epochs or 90,
