@@ -619,3 +619,41 @@ def test_campc_wall_aware_realism_step_runs():
                                 ipm.IPMSettings(n_iter=4))
         assert act.shape == (2,)
         assert bool(jnp.all(jnp.isfinite(act)))
+
+
+@pytest.mark.slow
+def test_accept_brake_margin_gate_semantics():
+    """accept_margin / brake_margin cascade semantics (MPCConfig:171-180):
+
+    - accept_margin unsatisfiable -> the solve is refused (carry.prev_ok
+      False: the guess was adopted) even when the solver succeeds;
+    - additionally unsatisfiable brake_margin -> the adopted guess is ALSO
+      refused and the e-brake fires (from rest: commanded speed 0);
+    - defaults (both 0, reference semantics) on the same easy state adopt
+      the solve (prev_ok True, forward motion).
+    """
+    state = CS.reset_host(ENV, case=1)
+    st = ipm.IPMSettings(n_iter=6)
+
+    # (a) defaults: solve adopted
+    ocp0 = OCP(MPC)
+    act0, carry0 = C.campc_action(ocp0, state, C.init_carry(ocp0), ENV, st)
+    assert bool(carry0.prev_ok), "easy open-field solve should be adopted"
+
+    # (b) accept_margin no plan can clear: guess adopted instead of solve,
+    # and with brake_margin=0 the (finite, clear) guess still executes
+    cfg_a = dataclasses.replace(MPC, accept_margin=999.0)
+    ocp_a = OCP(cfg_a)
+    act_a, carry_a = C.campc_action(ocp_a, state, C.init_carry(ocp_a), ENV,
+                                    st)
+    assert not bool(carry_a.prev_ok), \
+        "unsatisfiable accept_margin must refuse the solve"
+    assert bool(jnp.all(jnp.isfinite(act_a)))
+
+    # (c) brake_margin also unsatisfiable: e-brake from rest = speed 0
+    cfg_b = dataclasses.replace(MPC, accept_margin=999.0, brake_margin=999.0)
+    ocp_b = OCP(cfg_b)
+    act_b, carry_b = C.campc_action(ocp_b, state, C.init_carry(ocp_b), ENV,
+                                    st)
+    assert not bool(carry_b.prev_ok)
+    np.testing.assert_allclose(float(act_b[0]), 0.0, atol=1e-6)
