@@ -51,6 +51,10 @@ def classify_episode(tr, b, kind_steps):
     }
     if braked.any():
         return "ebrake", detail
+    if "rescued" in aux and aux["rescued"][b, w].any():
+        # best-exact-margin start executed in place of a failed guess
+        # (cfg.rescue_best_margin) during the window
+        return "rescued", detail
     if use_guess.any():
         k = lo + int(np.nonzero(use_guess)[0][-1])
         if not aux["sol_feasible"][b, k]:

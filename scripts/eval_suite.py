@@ -105,6 +105,11 @@ def main():
                    help="minimum exact-rollout clearance (m) of the "
                         "adopted guess before the e-brake fires "
                         "(MPCConfig.brake_margin)")
+    p.add_argument("--rescue_best_margin",
+                   action=argparse.BooleanOptionalAction, default=False,
+                   help="multi-start only: when the guess fails its brake "
+                        "gate, execute the best exact-margin start instead "
+                        "of braking (MPCConfig.rescue_best_margin)")
     p.add_argument("--multi_start", type=int, default=1,
                    help="batched multi-start NLP solves per control step "
                         "(campc._build_starts): 1 = single-start cascade, "
@@ -212,6 +217,7 @@ def main():
                 "wall_aware_realism": args.wall_aware_realism,
                 "accept_margin": args.accept_margin,
                 "brake_margin": args.brake_margin,
+                "rescue_best_margin": args.rescue_best_margin,
                 **({"wall_margin": args.wall_margin}
                    if args.wall_margin is not None else {})})
         if args.noise_std > 0:
@@ -253,6 +259,7 @@ def main():
             wall_aware_realism=args.wall_aware_realism,
             accept_margin=args.accept_margin,
             brake_margin=args.brake_margin,
+            rescue_best_margin=args.rescue_best_margin,
             # plain default OFF (published baselines); opt in with
             # --door_yield
             door_yield=bool(args.door_yield))

@@ -61,6 +61,9 @@ class CAMPCAux(NamedTuple):
     sol_realistic: jnp.ndarray  # bool — exact-rollout reality check passed
     cost_worse: jnp.ndarray     # bool — optimizer worse than warmstart
     braked: jnp.ndarray         # bool — emergency brake branch taken
+    rescued: jnp.ndarray        # bool — best-exact-margin start executed
+                                # in place of a failed guess (multi-start
+                                # cfg.rescue_best_margin)
     slack_max: jnp.ndarray      # max slack of the adopted plan
     exact_margin: jnp.ndarray   # min_k,h (d_exact - comb) of the ADOPTED
                                 # plan under exact human responses
@@ -636,6 +639,12 @@ def campc_action(ocp: OCP, state: SimState, carry: CAMPCCarry,
         z_sol = z_sols[idx]
         info = jax.tree.map(lambda x: x[idx], infos)
         sol_margin = margins[idx]
+        # best-exact-margin start for the rescue branch (cfg.
+        # rescue_best_margin): vetted by the same exact rollout that
+        # rejected everything else, and free — margins are already here
+        m_idx = jnp.argmax(jnp.where(finite, margins, -jnp.inf))
+        z_mbest = z_sols[m_idx]
+        m_best = jnp.where(jnp.any(finite), margins[m_idx], -jnp.inf)
 
     # --- failure cascade --------------------------------------------------
     sol_cost = ocp.cost(z_sol, params)
@@ -677,17 +686,28 @@ def campc_action(ocp: OCP, state: SimState, carry: CAMPCCarry,
         margin_g = jax.lax.cond(use_guess, _guess_margin,
                                 lambda _: jnp.float32(jnp.inf), None)
         guess_ok = guess_ok & (margin_g > cfg.brake_margin)
+    use_rescue = jnp.array(False)
+    if cfg.rescue_best_margin and cfg.multi_start > 1 and not debug:
+        # cascade level between "adopt guess" and "e-brake": when the
+        # guess fails its gate, execute the best-exact-margin start if
+        # ITS margin clears the same gate — a moving, vetted plan beats
+        # stopping in the door (queue9: parked robots collect the
+        # collisions the refusal was meant to avoid)
+        use_rescue = (use_guess & ~guess_ok & jnp.all(jnp.isfinite(z_mbest))
+                      & (m_best > cfg.brake_margin))
+        z_used = jnp.where(use_rescue, z_mbest, z_used)
     u_rob, _, _, _ = ocp.unpack(z_used)
+    exec_plan = guess_ok | ~use_guess | use_rescue
     if cfg.evasive_brake:
         # max-margin brake fan; lax.cond keeps the 5-candidate exact
         # rollout off the happy path in the unbatched real-time program
         action_u = jax.lax.cond(
-            guess_ok | ~use_guess, lambda _: u_rob[0],
+            exec_plan, lambda _: u_rob[0],
             lambda _: _evasive_brake_action(ocp, params), None)
     else:
         v_brake = jnp.maximum(
             ocp.rob_v_prev(params.x0_rob) + cfg.max_l_dcc * cfg.dt, 0.0)
-        action_u = jnp.where(guess_ok | ~use_guess, u_rob[0],
+        action_u = jnp.where(exec_plan, u_rob[0],
                              jnp.stack([v_brake, jnp.float32(0.0)]))
 
     action = jnp.stack([action_u[0], action_u[1] * cfg.dt])
@@ -713,7 +733,8 @@ def campc_action(ocp: OCP, state: SimState, carry: CAMPCCarry,
             sol_feasible=sol_feasible,
             sol_realistic=sol_realistic,
             cost_worse=cost_worse,
-            braked=use_guess & ~guess_ok,
+            braked=use_guess & ~guess_ok & ~use_rescue,
+            rescued=use_rescue,
             slack_max=jnp.max(jnp.concatenate(
                 [jnp.atleast_1d(x) for x in slacks_used])),
             exact_margin=jnp.min(d_a - comb[None, :]),

@@ -178,6 +178,18 @@ class MPCConfig:
     # earlier. 0.0 = reference semantics; pairs with evasive_brake so the
     # earlier brake steers instead of freezing in the lane.
     brake_margin: float = 0.0
+    # multi-start only: when the cascade has rejected the solve AND the
+    # adopted guess fails its brake gate (the exact window where every
+    # residual ebrake-class collision happens — queue9 showed refusing
+    # plans EARLIER just converts near-misses into parked collisions),
+    # execute the start whose EXACT-rollout margin is best instead of
+    # braking in the humans' lane — the batched multi-start already
+    # computed every start's margin, so the rescue is free. The e-brake
+    # remains the last resort when even the best start's margin fails the
+    # brake gate. Extends the reference's cascade (campc.py:722-832)
+    # with an option IPOPT could never afford: a vetted alternative PLAN,
+    # not just a stop.
+    rescue_best_margin: bool = False
     # number of leading horizon stages the brake_on_unreal_guess margin is
     # evaluated over (0 = full horizon). The taxonomy's collision episodes
     # materialized within a few steps of the negative-margin guess, so a
