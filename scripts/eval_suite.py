@@ -115,6 +115,12 @@ def main():
                         "(campc._build_starts): 1 = single-start cascade, "
                         "4 = selected + fresh + brake + side-step starts "
                         "solved as one vmapped IPM program")
+    p.add_argument("--kalman_filter", action="store_true",
+                   help="apply the observation-path constant-velocity "
+                        "Kalman filter (utils/state_filter.py) to the "
+                        "human observations before the policy sees them — "
+                        "the robustness-table mitigation; composes inside "
+                        "--noise_std")
     p.add_argument("--dwa_nv", type=int, default=8,
                    help="DWA static-window v samples (reference fixed-"
                         "resolution equivalent: ~3-4)")
@@ -220,6 +226,17 @@ def main():
                 "rescue_best_margin": args.rescue_best_margin,
                 **({"wall_margin": args.wall_margin}
                    if args.wall_margin is not None else {})})
+        init_carry_fn = lambda: SD.init_carry(ocp, env_cfg.max_humans, fcfg)
+        if args.kalman_filter:
+            from sicnav_tpu.utils.state_filter import (
+                KFConfig, filtered_policy_stateful, init_filter)
+            policy = filtered_policy_stateful(
+                policy, KFConfig(dt=env_cfg.dt,
+                                 pos_std=max(args.noise_std, 0.05),
+                                 vel_std=max(args.noise_std, 0.05)))
+            inner_init = init_carry_fn
+            init_carry_fn = lambda: (init_filter(env_cfg.max_humans),
+                                     inner_init())
         if args.noise_std > 0:
             from sicnav_tpu.utils.robustness import (NoiseConfig,
                                                      noisy_policy_stateful)
@@ -227,8 +244,7 @@ def main():
                 policy, NoiseConfig(args.noise_std, args.noise_std))
         res = harness.evaluate_policy(
             None, env_cfg, args.num_cases, args.phase, args.batch,
-            stateful_policy=(
-                lambda: SD.init_carry(ocp, env_cfg.max_humans, fcfg), policy),
+            stateful_policy=(init_carry_fn, policy),
             progress_file=args.progress_file)
     else:
         from sicnav_tpu.mpc.ocp import MPCConfig
@@ -267,6 +283,17 @@ def main():
         ocp, policy = C.make_policy(env_cfg, mpc_cfg,
                                     settings=ipm.IPMSettings(n_iter=args.ipm_iters, soc=args.soc,
                                      early_exit_tol=args.ipm_early_exit))
+        init_carry_fn = lambda: C.init_carry(ocp)
+        if args.kalman_filter:
+            from sicnav_tpu.utils.state_filter import (
+                KFConfig, filtered_policy_stateful, init_filter)
+            policy = filtered_policy_stateful(
+                policy, KFConfig(dt=env_cfg.dt,
+                                 pos_std=max(args.noise_std, 0.05),
+                                 vel_std=max(args.noise_std, 0.05)))
+            inner_init = init_carry_fn
+            init_carry_fn = lambda: (init_filter(env_cfg.max_humans),
+                                     inner_init())
         if args.noise_std > 0:
             from sicnav_tpu.utils.robustness import (NoiseConfig,
                                                      noisy_policy_stateful)
@@ -274,7 +301,7 @@ def main():
                 policy, NoiseConfig(args.noise_std, args.noise_std))
         res = harness.evaluate_policy(
             None, env_cfg, args.num_cases, args.phase, args.batch,
-            stateful_policy=(lambda: C.init_carry(ocp), policy),
+            stateful_policy=(init_carry_fn, policy),
             progress_file=args.progress_file)
 
     if (args.policy in ("sarl", "rgl", "sicnav_diffusion")
