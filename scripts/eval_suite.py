@@ -115,6 +115,11 @@ def main():
                         "(campc._build_starts): 1 = single-start cascade, "
                         "4 = selected + fresh + brake + side-step starts "
                         "solved as one vmapped IPM program")
+    p.add_argument("--adaptive_effort", type=int, default=0,
+                   help="extra IPM iterations granted to a control step "
+                        "whose previous solve was cascade-rejected "
+                        "(MPCConfig.adaptive_effort, a traced runtime "
+                        "budget — no recompile, no happy-path cost)")
     p.add_argument("--kalman_filter", action="store_true",
                    help="apply the observation-path constant-velocity "
                         "Kalman filter (utils/state_filter.py) to the "
@@ -218,6 +223,7 @@ def main():
                 "brake_on_unreal_guess": args.brake_on_unreal_guess,
                 "brake_horizon": args.brake_horizon,
                 "multi_start": args.multi_start,
+                "adaptive_effort": args.adaptive_effort,
                 "hard_wall_stages": args.hard_wall_stages,
                 "evasive_brake": args.evasive_brake,
                 "wall_aware_realism": args.wall_aware_realism,
@@ -270,6 +276,7 @@ def main():
             brake_on_unreal_guess=args.brake_on_unreal_guess,
             brake_horizon=args.brake_horizon,
             multi_start=args.multi_start,
+            adaptive_effort=args.adaptive_effort,
             hard_wall_stages=args.hard_wall_stages,
             evasive_brake=args.evasive_brake,
             wall_aware_realism=args.wall_aware_realism,

@@ -74,7 +74,6 @@ def evaluate_policy(policy_fn: Callable, cfg: EnvConfig, num_cases: int = 500,
     """
     max_steps = int(cfg.time_limit / cfg.dt) + 2
     completed = _load_progress(progress_file)
-    all_stats = []
     running = None
 
     for start in range(0, num_cases, batch):
@@ -83,7 +82,6 @@ def evaluate_policy(policy_fn: Callable, cfg: EnvConfig, num_cases: int = 500,
         if start in completed:
             prev = completed[start]
             if len(np.atleast_1d(prev.success)) == n_valid:
-                all_stats.append(prev)
                 running = (prev if running is None else jax.tree.map(
                     lambda a, b: np.concatenate(
                         [np.atleast_1d(a), np.atleast_1d(b)]), running, prev))
@@ -118,7 +116,6 @@ def evaluate_policy(policy_fn: Callable, cfg: EnvConfig, num_cases: int = 500,
                 batch_states, carries, step_fn, cfg, max_steps)
         batch_stats = jax.tree.map(
             lambda x: np.atleast_1d(np.asarray(x))[:n_valid], stats)
-        all_stats.append(batch_stats)
         if progress_file:
             _append_progress(progress_file, start, batch_stats)
         # running summary per batch, tracked incrementally and reused for

@@ -600,6 +600,16 @@ def campc_action(ocp: OCP, state: SimState, carry: CAMPCCarry,
             m = jnp.minimum(m, _min_wall_clearance(params, Xr_ex))
         return m
 
+    # failure-triggered effort escalation (cfg.adaptive_effort): a step
+    # whose previous solve was cascade-rejected gets extra IPM iterations
+    # as a TRACED budget — same compiled program, more grinding exactly
+    # inside the consecutive-failure windows the collision taxonomy blames
+    n_dyn = None
+    if cfg.adaptive_effort > 0 and not debug:
+        n_dyn = jnp.int32(settings.n_iter) + jnp.where(
+            carry.has_prev & ~carry.prev_ok,
+            jnp.int32(cfg.adaptive_effort), jnp.int32(0))
+
     if debug or cfg.multi_start <= 1:
         # single-start (reference-shaped cascade); debug traces need the
         # one-solve iteration history, so debug always takes this path
@@ -608,14 +618,16 @@ def campc_action(ocp: OCP, state: SimState, carry: CAMPCCarry,
             z_sol, info, raw_trace = ipm.solve(f_fn, ce_fn, ci_fn, z_guess,
                                                settings, return_trace=True)
         else:
-            z_sol, info = ipm.solve(f_fn, ce_fn, ci_fn, z_guess, settings)
+            z_sol, info = ipm.solve(f_fn, ce_fn, ci_fn, z_guess, settings,
+                                    n_iter_dyn=n_dyn)
         sol_margin = plan_margin(ocp.unpack(z_sol)[0])
     else:
         # batched multi-start: one vmapped IPM solve over all starts, then
         # adopt the best exact-rollout-feasible solution by cost
         z_guess, starts = _build_starts(ocp, carry, params)
         z_sols, infos = jax.vmap(
-            lambda z0: ipm.solve(f_fn, ce_fn, ci_fn, z0, settings))(starts)
+            lambda z0: ipm.solve(f_fn, ce_fn, ci_fn, z0, settings,
+                                 n_iter_dyn=n_dyn))(starts)
         costs = jax.vmap(f_fn)(z_sols)
         finite = jnp.all(jnp.isfinite(z_sols), axis=-1)
         feas = finite & (infos.ineq_viol < 1e-2) & (infos.eq_viol < 1e-1)

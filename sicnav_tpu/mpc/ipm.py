@@ -145,11 +145,20 @@ def _merit(f_val, c_e, c_i, s, mu, nu):
 
 def solve(f_fn: Callable, ceq_fn: Callable, cineq_fn: Callable,
           z0: jnp.ndarray, settings: IPMSettings = IPMSettings(),
-          return_trace: bool = False, return_duals: bool = False):
+          return_trace: bool = False, return_duals: bool = False,
+          n_iter_dyn=None):
     """Solve one NLP. All fns map z -> value(s). Returns (z, IPMInfo).
 
     vmap over a batch axis of z0 (with closures over batched params via
     partial application) to solve many problems at once.
+
+    ``n_iter_dyn``: optional TRACED iteration budget that overrides the
+    static ``settings.n_iter`` cap — the per-solve adaptive-effort lever
+    (a runtime value, so escalating effort after a failed control step
+    reuses the compiled program; the reference's analog is the hand-tuned
+    per-crowd Acados caps, campc_acados_opt.py:411-439, which are fixed
+    at codegen time). Ignored when a trace is requested (traces need the
+    fixed-trip scan).
     """
     st = settings
     n = z0.shape[0]
@@ -365,21 +374,27 @@ def solve(f_fn: Callable, ceq_fn: Callable, cineq_fn: Callable,
         return (jnp.where(better, state.z, z_b),
                 jnp.where(better, f_val, f_b), has_b | feas)
 
-    if st.early_exit_tol > 0.0 and not return_trace:
+    if (st.early_exit_tol > 0.0 or n_iter_dyn is not None) \
+            and not return_trace:
         tol = st.early_exit_tol
+        limit = (jnp.int32(st.n_iter) if n_iter_dyn is None
+                 else jnp.asarray(n_iter_dyn, jnp.int32))
 
         def cond_fn(carry):
             state, best, it, done = carry
-            return (it < st.n_iter) & ~done
+            return (it < limit) & ~done
 
         def body_fn(carry):
             state, best, it, _ = carry
             new_state, tr = step(state, it)
             if st.keep_best_feasible:
                 best = track_best(state, best, tr)
-            _, _, _, _, _, eq_v, ineq_v, kkt_stat, kkt_comp = tr
-            done = ((kkt_stat < tol) & (eq_v < tol) & (ineq_v < tol) &
-                    (kkt_comp < st.early_exit_comp_tol))
+            if tol > 0.0:
+                _, _, _, _, _, eq_v, ineq_v, kkt_stat, kkt_comp = tr
+                done = ((kkt_stat < tol) & (eq_v < tol) & (ineq_v < tol) &
+                        (kkt_comp < st.early_exit_comp_tol))
+            else:
+                done = jnp.asarray(False)
             return new_state, best, it + 1, done
 
         final, best, n_used, _ = jax.lax.while_loop(

@@ -224,6 +224,19 @@ class MPCConfig:
     # step (campc.py:684-832) but the TPU solves 4 starts in one batched
     # program. 1 = off (reference-shaped single-start cascade).
     multi_start: int = 1
+    # failure-triggered effort escalation (round-4, the taxonomy's open
+    # lever): the residual ebrake-class collisions are created UPSTREAM,
+    # in the 2-3 consecutive failed-solve steps that force guess adoption
+    # (ten margin/rescue probes agree the terminal maneuver is
+    # immaterial). When > 0, a control step whose PREVIOUS solve was
+    # rejected by the cascade grants the IPM this many EXTRA iterations —
+    # a traced runtime budget (ipm.solve n_iter_dyn), so the escalated
+    # step reuses the compiled program and costs nothing on the happy
+    # path. Targets exactly the failure windows the uniform-budget
+    # frontier (flat 10-40 iters) cannot see, the way IPOPT's unbounded
+    # iteration count lets the reference grind through the same
+    # instances (campc.py:430-467 sets max_iter 1000). 0 = off.
+    adaptive_effort: int = 0
     # slack penalty family: "tro" = the Opti penalties (campc.py:280-330,
     # 1e9-scale quadratics on 1e-3-scaled slacks); "acados" = the RA-L
     # exporter's per-row L1/L2 penalties (campc_acados_opt.py:363-374,

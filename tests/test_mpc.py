@@ -109,6 +109,41 @@ def test_ipm_equality_constrained():
     np.testing.assert_allclose(np.asarray(z), [0.5, 0.5], atol=1e-3)
 
 
+def test_ipm_dynamic_budget():
+    """n_iter_dyn: a traced iteration budget equals the static scan result
+    at the same count, is honored exactly (info.iters), and one compiled
+    program serves different budgets (the adaptive-effort contract)."""
+    f = lambda z: (z[0] - 2.0) ** 2 + z[1] ** 2
+    ce = lambda z: jnp.array([z[0] + z[1] - 1.5])
+    ci = lambda z: jnp.array([z[0] - 1.0])
+    z0 = jnp.array([0.0, 0.0])
+    st = ipm.IPMSettings(n_iter=20)
+    z_static, info_s = ipm.solve(f, ce, ci, z0, st)
+    solve_dyn = jax.jit(lambda n: ipm.solve(f, ce, ci, z0, st, n_iter_dyn=n))
+    z_dyn, info_d = solve_dyn(jnp.int32(20))
+    np.testing.assert_allclose(np.asarray(z_dyn), np.asarray(z_static),
+                               atol=1e-5)
+    assert int(info_d.iters) == 20
+    # same compiled fn, escalated budget: more iterations actually run and
+    # the iterate is at least as feasible-optimal
+    z_hi, info_hi = solve_dyn(jnp.int32(35))
+    assert int(info_hi.iters) == 35
+    np.testing.assert_allclose(float(z_hi[0]), 1.0, atol=1e-3)
+
+
+def test_ipm_dynamic_budget_with_early_exit():
+    """n_iter_dyn composes with the KKT early exit: the exit can fire
+    before the dynamic cap, and the cap still bounds the loop."""
+    f = lambda z: (z[0] - 2.0) ** 2
+    ce = lambda z: jnp.zeros((0,), z.dtype)
+    ci = lambda z: jnp.array([z[0] - 1.0])
+    st = ipm.IPMSettings(n_iter=50, early_exit_tol=1e-3)
+    z, info = ipm.solve(f, ce, ci, jnp.array([0.0]), st,
+                        n_iter_dyn=jnp.int32(40))
+    np.testing.assert_allclose(float(z[0]), 1.0, atol=1e-3)
+    assert int(info.iters) <= 40
+
+
 def test_ipm_soc_on_curved_equality():
     """Second-order correction: on a curved equality manifold
     (x^2 + y^2 = 1, min -x -> (1, 0)) the SOC candidate must not break

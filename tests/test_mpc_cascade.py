@@ -586,6 +586,27 @@ def test_campc_evasive_brake_step_runs():
     assert bool(jnp.all(jnp.isfinite(act)))
 
 
+def test_campc_adaptive_effort():
+    """cfg.adaptive_effort: on the happy path (previous solve accepted)
+    the escalated-budget program matches the plain one numerically (same
+    iteration count, while-loop vs scan path only); after a rejected solve
+    the step still runs with the extra budget and yields a finite action."""
+    cfg = dataclasses.replace(MPC, adaptive_effort=6)
+    ocp_a = OCP(cfg)
+    ocp_0 = OCP(MPC)
+    state = CS.reset_host(ENV, case=1)
+    st = ipm.IPMSettings(n_iter=4)
+    act_a, carry_a = C.campc_action(ocp_a, state, C.init_carry(ocp_a), ENV, st)
+    act_0, _ = C.campc_action(ocp_0, state, C.init_carry(ocp_0), ENV, st)
+    np.testing.assert_allclose(np.asarray(act_a), np.asarray(act_0),
+                               atol=1e-5)
+    # failure-escalated step: previous solve rejected -> extra iterations
+    failed = carry_a._replace(prev_ok=jnp.array(False))
+    act_f, _ = C.campc_action(ocp_a, state, failed, ENV, st)
+    assert act_f.shape == (2,)
+    assert bool(jnp.all(jnp.isfinite(act_f)))
+
+
 def test_min_wall_clearance():
     """_min_wall_clearance: masked walls are ignored; distance is to the
     nearest active segment minus the robot radius."""
