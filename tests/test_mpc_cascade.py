@@ -586,6 +586,7 @@ def test_campc_evasive_brake_step_runs():
     assert bool(jnp.all(jnp.isfinite(act)))
 
 
+@pytest.mark.slow
 def test_campc_adaptive_effort():
     """cfg.adaptive_effort: on the happy path (previous solve accepted)
     the escalated-budget program matches the plain one numerically (same
