@@ -36,6 +36,9 @@ def add_policy_args(p: argparse.ArgumentParser):
                    help="override MPCConfig.brake_on_unreal_guess")
     p.add_argument("--mpc_kw", default=None,
                    help="extra MPCConfig fields as k=v,k=v (floats/ints/bools)")
+    p.add_argument("--resume_dir", default=None,
+                   help="directory for per-batch traced-run .npz checkpoints "
+                        "(completed batches are loaded, not re-run)")
     return p
 
 
@@ -140,17 +143,68 @@ def build(args):
     return env_cfg, step_fn, init_carry, max_steps
 
 
+# StepTrace fields surfaced to the taxonomy classifiers (rollout.StepTrace
+# minus the policy-specific aux pytree, which is keyed separately)
+_TR_FIELDS = ("dmin", "collision", "wall_collision", "frozen", "live",
+              "r_pos", "h_pos", "action", "latch", "door_stall")
+
+
+def _aux_fields_from_npz(path):
+    import numpy as np
+    return [k[2:] for k in np.load(path).files if k.startswith("a_")]
+
+
 def run_traced_suite(args, env_cfg, step_fn, init_carry, max_steps):
     """Run the seeded suite in batched traced rollouts; returns
-    (stats numpy pytree, trace dict of numpy arrays (B, T, ...))."""
+    (stats numpy pytree, trace dict of numpy arrays (B, T, ...)).
+
+    ``args.resume_dir`` (optional): directory of per-batch .npz
+    checkpoints. Completed batches are loaded instead of re-run, so a
+    multi-hour 500-case traced audit on the tunneled chip survives worker
+    kills — re-run the same command to resume (the eval_suite
+    progress_file pattern, applied to traced runs)."""
+    import sys
     import jax
     import jax.numpy as jnp
     import numpy as np
     from sicnav_tpu.env import crowd_sim, rollout
 
+    resume_dir = getattr(args, "resume_dir", None)
+    if resume_dir:
+        os.makedirs(resume_dir, exist_ok=True)
+
+    def _save(path, stats, trace_np):
+        flat = {f"s_{k}": np.asarray(getattr(stats, k))
+                for k in stats._fields}
+        flat.update({f"t_{k}": v for k, v in trace_np.items()
+                     if k != "aux"})
+        flat.update({f"a_{k}": v for k, v in trace_np["aux"].items()})
+        tmp = path + ".tmp.npz"
+        np.savez(tmp, **flat)
+        os.replace(tmp, path)
+
+    def _load(path, stats_cls, aux_fields, tr_fields):
+        z = np.load(path)
+        stats = stats_cls(**{k: z[f"s_{k}"] for k in stats_cls._fields})
+        tr = {k: z[f"t_{k}"] for k in tr_fields}
+        tr["aux"] = {k: z[f"a_{k}"] for k in aux_fields}
+        return stats, tr
+
     all_stats, all_traces = [], []
     for start in range(0, args.num_cases, args.batch):
         cases = list(range(start, min(start + args.batch, args.num_cases)))
+        ckpt = (os.path.join(resume_dir, f"batch_{start:05d}.npz")
+                if resume_dir else None)
+        if ckpt and os.path.exists(ckpt):
+            from sicnav_tpu.env.rollout import EpisodeStats
+            stats, trace_np = _load(ckpt, EpisodeStats,
+                                    aux_fields=_aux_fields_from_npz(ckpt),
+                                    tr_fields=_TR_FIELDS)
+            all_stats.append(stats)
+            all_traces.append(trace_np)
+            print(f"[audit] cases {start}-{cases[-1]}: resumed from {ckpt}",
+                  file=sys.stderr, flush=True)
+            continue
         states = [crowd_sim.reset_host(env_cfg, c, args.phase) for c in cases]
         bs = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
         carries = jax.tree.map(lambda *xs: jnp.stack(xs),
@@ -158,14 +212,24 @@ def run_traced_suite(args, env_cfg, step_fn, init_carry, max_steps):
         _, stats, trace = jax.vmap(lambda s, c: rollout.rollout_episode_traced(
             s, c, step_fn, env_cfg, max_steps))(bs, carries)
         to_np = lambda t: jax.tree.map(np.asarray, t)
-        all_stats.append(to_np(stats))
-        all_traces.append(to_np(trace))
+        stats = to_np(stats)
+        trace = to_np(trace)
+        trace_np = {k: getattr(trace, k) for k in _TR_FIELDS}
+        trace_np["aux"] = {f: getattr(trace.aux, f)
+                           for f in trace.aux._fields}
+        if ckpt:
+            _save(ckpt, stats, trace_np)
+        print(f"[audit] cases {start}-{cases[-1]}: success "
+              f"{float(np.mean(np.atleast_1d(stats.success))):.2f}",
+              file=sys.stderr, flush=True)
+        all_stats.append(stats)
+        all_traces.append(trace_np)
 
     stats = jax.tree.map(lambda *xs: np.concatenate(xs), *all_stats)
-    trace = jax.tree.map(lambda *xs: np.concatenate(xs), *all_traces)
-    tr = {"dmin": trace.dmin, "collision": trace.collision,
-          "wall_collision": trace.wall_collision, "frozen": trace.frozen,
-          "live": trace.live, "r_pos": trace.r_pos, "h_pos": trace.h_pos,
-          "action": trace.action,
-          "aux": {f: getattr(trace.aux, f) for f in trace.aux._fields}}
+    # per-batch episode lengths differ only by padding; max_steps is fixed
+    # across batches so time axes always align
+    tr = {k: np.concatenate([t[k] for t in all_traces])
+          for k in _TR_FIELDS}
+    tr["aux"] = {k: np.concatenate([t["aux"][k] for t in all_traces])
+                 for k in all_traces[0]["aux"]}
     return stats, tr

@@ -69,29 +69,11 @@ def classify_episode(tr, b, kind_steps):
     return "model_mismatch", detail
 
 
-def main():
-    from sicnav_tpu.utils.cache import enable_compilation_cache
-    enable_compilation_cache()
-    p = argparse.ArgumentParser()
-    audit_common.add_policy_args(p)
-    p.add_argument("--out", default=None, help="write full JSON here")
-    args = p.parse_args()
-    if args.wall_margin is None and args.policy != "sicnav_diffusion":
-        # plain-CAMPC diagnostic: 0.05 in both robot models (the capsule
-        # 0.10 benefit is fused-only; see eval_suite.py)
-        args.wall_margin = 0.05
-
-    env_cfg, step_fn, init_carry, max_steps = audit_common.build(args)
-    stats, tr = audit_common.run_traced_suite(
-        args, env_cfg, step_fn, init_carry, max_steps)
-
-    from sicnav_tpu import harness
-    report = {"summary": harness.summarize(stats, env_cfg),
-              "config": {"policy": args.policy, "scenario": args.scenario,
-                         "num_cases": args.num_cases, "ral": args.ral,
-                         "stage_margin": args.stage_margin,
-                         "ipm_iters": args.ipm_iters}}
-
+def collision_report(stats, tr, args, env_cfg) -> dict:
+    """Classify every collision / wall-collision episode of a traced suite
+    and run the frozen-phase audit. Importable so a single traced run can
+    feed both this and timeout_taxonomy's report (scripts/suite_audit.py)."""
+    report = {}
     coll_rows, wall_rows = [], []
     coll_counts, wall_counts = {}, {}
     for b in range(args.num_cases):
@@ -147,6 +129,55 @@ def main():
         "frozen_steps_with_human_within_1m": (
             float(np.mean(fd < 1.0)) if fd.size else None),
     }
+
+    # consecutive-failure-window histogram (round-5 adaptive_effort
+    # criterion): length distribution of maximal use_guess runs across all
+    # live steps — the round-4 taxonomy blamed every residual collision on
+    # 2-3-step stale-guess windows, so an effort escalation that works
+    # must shift this histogram toward 1
+    streaks = {}
+    live = np.asarray(tr["live"])
+    ug = np.asarray(tr["aux"]["use_guess"]) & live
+    for b in range(args.num_cases):
+        run = 0
+        for v in ug[b]:
+            if v:
+                run += 1
+            elif run:
+                streaks[run] = streaks.get(run, 0) + 1
+                run = 0
+        if run:
+            streaks[run] = streaks.get(run, 0) + 1
+    report["guess_streak_hist"] = {str(k): streaks[k]
+                                   for k in sorted(streaks)}
+    report["guess_streaks_ge3"] = int(sum(v for k, v in streaks.items()
+                                          if k >= 3))
+    return report
+
+
+def main():
+    from sicnav_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    p = argparse.ArgumentParser()
+    audit_common.add_policy_args(p)
+    p.add_argument("--out", default=None, help="write full JSON here")
+    args = p.parse_args()
+    if args.wall_margin is None and args.policy != "sicnav_diffusion":
+        # plain-CAMPC diagnostic: 0.05 in both robot models (the capsule
+        # 0.10 benefit is fused-only; see eval_suite.py)
+        args.wall_margin = 0.05
+
+    env_cfg, step_fn, init_carry, max_steps = audit_common.build(args)
+    stats, tr = audit_common.run_traced_suite(
+        args, env_cfg, step_fn, init_carry, max_steps)
+
+    from sicnav_tpu import harness
+    report = {"summary": harness.summarize(stats, env_cfg),
+              "config": {"policy": args.policy, "scenario": args.scenario,
+                         "num_cases": args.num_cases, "ral": args.ral,
+                         "stage_margin": args.stage_margin,
+                         "ipm_iters": args.ipm_iters}}
+    report.update(collision_report(stats, tr, args, env_cfg))
 
     out = json.dumps(report, indent=2)
     if args.out:

@@ -1,9 +1,10 @@
 #!/usr/bin/env python
 """Per-episode TIMEOUT taxonomy for the MPC controllers.
 
-Round-3 success audit: the definitive 500-case bottleneck tables show
-failures are dominated by timeouts (e.g. fused RA-L: 70.6% success,
-4.4% collision-episodes => ~25% timeout-episodes). This audit runs the
+Success audit: the definitive 500-case bottleneck tables show failures
+are dominated by timeouts (round-4 shipped fused default: 82.2% success,
+5.2% collision-episodes => ~12.6% timeout-episodes; the round-3
+pre-door-yield numbers were 70.6% / 4.4% / ~25%). This audit runs the
 seeded suite with per-step traces (rollout.rollout_episode_traced) and
 classifies every timeout episode by WHERE the episode died relative to the
 bottleneck door (y=0) and WHAT the crowd was doing:
@@ -39,29 +40,12 @@ import audit_common
 DOOR_BAND = 0.35     # |progress| <= band counts as "in the door"
 
 
-def main():
-    from sicnav_tpu.utils.cache import enable_compilation_cache
-    enable_compilation_cache()
-    p = argparse.ArgumentParser()
-    audit_common.add_policy_args(p)
-    p.add_argument("--out", default=None, help="write full JSON here")
-    p.add_argument("--dump_traces", default=None,
-                   help="npz path: dump r_pos/h_pos/frozen/action traces of "
-                        "every timeout episode for offline inspection")
-    args = p.parse_args()
-
-    env_cfg, step_fn, init_carry, max_steps = audit_common.build(args)
-    stats, tr = audit_common.run_traced_suite(
-        args, env_cfg, step_fn, init_carry, max_steps)
-
-    from sicnav_tpu import harness
+def timeout_report(stats, tr, args, env_cfg) -> dict:
+    """Classify every timeout episode of a traced suite (stats, tr from
+    audit_common.run_traced_suite). Importable so a single traced run can
+    feed both this and collision_taxonomy's report (scripts/suite_audit.py)."""
     from sicnav_tpu.env import crowd_sim
-    report = {"summary": harness.summarize(stats, env_cfg),
-              "config": {"policy": args.policy, "scenario": args.scenario,
-                         "num_cases": args.num_cases, "ral": args.ral,
-                         "ipm_iters": args.ipm_iters,
-                         "mpc_kw": args.mpc_kw}}
-
+    report = {}
     timeout = np.asarray(stats.timeout)
     steps = np.asarray(stats.steps)
     rows, counts = [], {}
@@ -101,6 +85,14 @@ def main():
         guess_frac = float(aux["use_guess"][b, live].mean())
         fro_idx = np.nonzero(tr["frozen"][b, live])[0]
         fro_dmin = tr["dmin"][b, fro_idx] if fro_idx.size else np.zeros(0)
+        # yield-latch economy at death (round-5 audit): how much of the
+        # episode was spent latched, whether the robot died latched (and
+        # how deep into the hold), how often the yield/assert alternation
+        # cycled, and whether death happened inside a cooldown window
+        latch = tr["latch"][b, live].astype(bool)
+        latch_frac = float(latch.mean())
+        engagements = int(np.sum(np.diff(latch.astype(int), prepend=0) == 1))
+        stall_end = int(tr["door_stall"][b, last])
 
         if moved < 0.5:
             cls = "never_progressed"
@@ -124,11 +116,45 @@ def main():
             "guess_frac": round(guess_frac, 3),
             "frozen_dmin_p50": (round(float(np.median(fro_dmin)), 3)
                                 if fro_dmin.size else None),
+            "yield_latch_frac": round(latch_frac, 3),
+            "yield_engagements": engagements,
+            "latched_at_death": bool(latch[-1]) if latch.size else False,
+            "door_stall_at_death": stall_end,
+            "in_cooldown_at_death": stall_end < 0 and not (
+                bool(latch[-1]) if latch.size else False),
         })
 
     report["timeout_classes"] = counts
     report["timeout_episodes"] = rows
     report["n_timeouts"] = int(timeout.sum())
+    return report
+
+
+def main():
+    from sicnav_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    p = argparse.ArgumentParser()
+    audit_common.add_policy_args(p)
+    p.add_argument("--out", default=None, help="write full JSON here")
+    p.add_argument("--dump_traces", default=None,
+                   help="npz path: dump r_pos/h_pos/frozen/action traces of "
+                        "every timeout episode for offline inspection")
+    args = p.parse_args()
+
+    env_cfg, step_fn, init_carry, max_steps = audit_common.build(args)
+    stats, tr = audit_common.run_traced_suite(
+        args, env_cfg, step_fn, init_carry, max_steps)
+
+    from sicnav_tpu import harness
+    from sicnav_tpu.env import crowd_sim
+    report = {"summary": harness.summarize(stats, env_cfg),
+              "config": {"policy": args.policy, "scenario": args.scenario,
+                         "num_cases": args.num_cases, "ral": args.ral,
+                         "ipm_iters": args.ipm_iters,
+                         "mpc_kw": args.mpc_kw}}
+    report.update(timeout_report(stats, tr, args, env_cfg))
+    timeout = np.asarray(stats.timeout)
+    steps = np.asarray(stats.steps)
 
     if args.dump_traces:
         to_idx = np.nonzero(timeout)[0]

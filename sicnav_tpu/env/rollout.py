@@ -40,16 +40,20 @@ class EpisodeStats(NamedTuple):
     steps: jnp.ndarray
 
 
-def _door_latch(carry) -> jnp.ndarray:
-    """Extract the policy carry's door-yield latch (campc.CAMPCCarry
-    ``door_latch``) if present anywhere in the carry pytree; policies
-    without the protocol report a constant False."""
+def _carry_field(carry, name, default):
+    """Extract a named field (e.g. campc.CAMPCCarry ``door_latch`` /
+    ``door_stall``) if present anywhere in the carry pytree; policies
+    without the field report the constant default."""
     from jax.tree_util import tree_flatten_with_path
     leaves, _ = tree_flatten_with_path(carry)
     for path, leaf in leaves:
-        if any(getattr(p, "name", None) == "door_latch" for p in path):
-            return jnp.asarray(leaf, bool)
-    return jnp.array(False)
+        if any(getattr(p, "name", None) == name for p in path):
+            return jnp.asarray(leaf, default.dtype)
+    return default
+
+
+def _door_latch(carry) -> jnp.ndarray:
+    return _carry_field(carry, "door_latch", jnp.array(False))
 
 
 @functools.partial(jax.jit, static_argnames=("policy_fn", "cfg", "max_steps"))
@@ -172,6 +176,12 @@ class StepTrace(NamedTuple):
     r_pos: jnp.ndarray          # (2,)
     h_pos: jnp.ndarray          # (H, 2) — for queue/jam audits
     action: jnp.ndarray         # (2,)
+    latch: jnp.ndarray          # bool — door-yield latch engaged this step
+    door_stall: jnp.ndarray     # int32 — the latch economy's dual-purpose
+    #                             counter (campc.CAMPCCarry.door_stall):
+    #                             unlatched >=0 counts stalled steps, <0 the
+    #                             post-timeout cooldown, latched the hold —
+    #                             the timeout audit reads it at death
     aux: object                 # policy aux pytree
 
 
@@ -211,6 +221,9 @@ def rollout_episode_traced(state: SimState, carry0, step_fn: Callable,
                        wall_collision=live & info.wall_collision,
                        frozen=live & info.frozen, dmin=info.dmin,
                        r_pos=state.r_pos, h_pos=state.h_pos, action=action,
+                       latch=latch,
+                       door_stall=_carry_field(pcarry, "door_stall",
+                                               jnp.int32(0)),
                        aux=aux)
         return (new_state, pcarry, stats), tr
 

@@ -556,7 +556,14 @@ def campc_action(ocp: OCP, state: SimState, carry: CAMPCCarry,
     with ``debug=True`` also a ``introspection.SolveDebug`` pytree (the
     reference's per-solve debug_material, campc.py:861-979); with
     ``aux=True`` instead a light ``CAMPCAux`` scalar pytree for rollout
-    tracing."""
+    tracing.
+
+    Note: the debug path never escalates (cfg.adaptive_effort is ignored
+    when ``debug=True`` — iteration traces need ipm.solve's fixed-trip
+    scan, which rejects n_iter_dyn). To trace what an escalated step
+    computes, pass settings with n_iter = n_iter + adaptive_effort; a
+    debug solve therefore matches the production solve only on
+    non-escalated steps of an adaptive-effort run."""
     cfg = ocp.cfg
     if cfg.door_yield:
         # intent estimate for the transit-vs-parked test: callers with a

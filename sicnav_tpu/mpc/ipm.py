@@ -157,9 +157,19 @@ def solve(f_fn: Callable, ceq_fn: Callable, cineq_fn: Callable,
     (a runtime value, so escalating effort after a failed control step
     reuses the compiled program; the reference's analog is the hand-tuned
     per-crowd Acados caps, campc_acados_opt.py:411-439, which are fixed
-    at codegen time). Ignored when a trace is requested (traces need the
-    fixed-trip scan).
+    at codegen time). Incompatible with ``return_trace`` (traces need the
+    fixed-trip scan), and silently ignoring it would let a debug trace of
+    an adaptive-effort run diverge from the production solve on escalated
+    steps — so the combination is an explicit error; debug callers must
+    bake the escalated budget into ``settings.n_iter`` instead.
     """
+    if return_trace and n_iter_dyn is not None:
+        raise ValueError(
+            "n_iter_dyn is unsupported with return_trace=True: the traced "
+            "path runs a fixed-trip scan of settings.n_iter iterations and "
+            "would not reflect the escalated budget. Pass "
+            "settings=replace(settings, n_iter=<escalated>) to trace an "
+            "adaptive-effort solve.")
     st = settings
     n = z0.shape[0]
 

@@ -230,9 +230,14 @@ class MPCConfig:
     # (ten margin/rescue probes agree the terminal maneuver is
     # immaterial). When > 0, a control step whose PREVIOUS solve was
     # rejected by the cascade grants the IPM this many EXTRA iterations —
-    # a traced runtime budget (ipm.solve n_iter_dyn), so the escalated
-    # step reuses the compiled program and costs nothing on the happy
-    # path. Targets exactly the failure windows the uniform-budget
+    # a traced runtime budget (ipm.solve n_iter_dyn): no recompile, and
+    # the happy-path ITERATION COUNT is unchanged. (Codegen does change:
+    # any adaptive_effort > 0 switches the solve from lax.scan to
+    # lax.while_loop, and under a vmapped fleet JAX's while_loop batching
+    # runs the masked body until the slowest lane's limit — one escalated
+    # episode extends that batch's step wall-clock. The unbatched
+    # real-time path only pays on actually-escalated steps.) Targets
+    # exactly the failure windows the uniform-budget
     # frontier (flat 10-40 iters) cannot see, the way IPOPT's unbounded
     # iteration count lets the reference grind through the same
     # instances (campc.py:430-467 sets max_iter 1000). 0 = off.
