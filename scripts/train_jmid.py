@@ -16,15 +16,27 @@ import numpy as np
 
 
 def generate_sim_scenes(n_scenes, cfg, seed=0, steps=60,
-                        multi_class=False, history_len=6, horizon=8):
+                        multi_class=False, history_len=6, horizon=8,
+                        class_mode="speed"):
     """Roll batched envs with ORCA humans + ORCA robot to produce scenes.
 
     ``multi_class`` produces all three NODE_TYPES, the sim's equivalent of
     the reference's JRDB multi-class sources (process_data.py:413-421),
-    driving the per-node-type encoder dispatch: the robot track is typed
-    ROBOT, a random ~30% of humans get 1.7x preferred speed and are typed
-    BICYCLE, the rest are PEDESTRIAN — so class labels correlate with
-    actual dynamics and class-conditioned encoding has signal to use."""
+    driving the per-node-type encoder dispatch. Two class regimes:
+
+    - ``class_mode='speed'`` (round-4): a random ~30% of humans get 1.7x
+      preferred speed and are typed BICYCLE — class labels correlate with
+      dynamics, but a 6-frame history identifies the class trivially
+      (the measured dispatch-ablation null, BENCH_EXTRA round 4).
+    - ``class_mode='maneuver'`` (round-5, VERDICT r4 #6): every class
+      moves at the SAME preferred speed; BICYCLE-class agents are
+      zig-zag maneuverers — each rollout segment their goal is re-aimed
+      to a laterally rotated waypoint (alternating side), so mid-segment
+      their history is indistinguishable from a straight PEDESTRIAN
+      track. The only way to predict the upcoming turn is the class
+      label — the mechanism the reference's per-node-type MGCVAE dispatch
+      exists for (encoders/trajectron.py:318: JRDB classes share speed
+      regimes but differ in maneuvering style)."""
     import jax.numpy as jnp
     from sicnav_tpu.env import crowd_sim as CS, rollout as R
     from sicnav_tpu.policies.orca_robot import orca_robot_action
@@ -35,12 +47,55 @@ def generate_sim_scenes(n_scenes, cfg, seed=0, steps=60,
     bike = np.zeros((n_scenes, states.h_v_pref.shape[1]), bool)
     if multi_class:
         bike = np.asarray(jax.random.bernoulli(
-            jax.random.PRNGKey(seed + 1), 0.3,
+            jax.random.PRNGKey(seed + 1),
+            0.3 if class_mode == "speed" else 0.4,
             states.h_v_pref.shape))
-        states = states._replace(
-            h_v_pref=states.h_v_pref * jnp.where(bike, 1.7, 1.0))
+        if class_mode == "speed":
+            states = states._replace(
+                h_v_pref=states.h_v_pref * jnp.where(bike, 1.7, 1.0))
     pol = lambda s: orca_robot_action(s, cfg)
-    _, _, traj = R.batch_rollout(states, pol, cfg, max_steps=steps)
+
+    if multi_class and class_mode == "maneuver":
+        # segmented rollout with mid-flight goal re-aiming for the
+        # BICYCLE class: rotate (goal - pos) by an alternating-side
+        # 40-75 degree turn every `seg` steps. t/done are reset between
+        # segments (data generation only — no episode semantics needed).
+        seg = 8
+        bike_j = jnp.asarray(bike)
+        key = jax.random.PRNGKey(seed + 2)
+        st, trajs = states, []
+        for si in range(max(steps // seg, 1)):
+            fst, _, traj = R.batch_rollout(st, pol, cfg, max_steps=seg)
+            trajs.append(traj)
+            key, k = jax.random.split(key)
+            ang = jax.random.uniform(
+                k, bike_j.shape, minval=jnp.deg2rad(70.0),
+                maxval=jnp.deg2rad(120.0)) * (1.0 if si % 2 == 0 else -1.0)
+            to_g = fst.h_goal - fst.h_pos
+            c, s = jnp.cos(ang), jnp.sin(ang)
+            rot = jnp.stack([c * to_g[..., 0] - s * to_g[..., 1],
+                             s * to_g[..., 0] + c * to_g[..., 1]], -1)
+            # re-aim a fixed 4 m ahead so a near goal cannot park the agent
+            dirv = rot / jnp.maximum(
+                jnp.linalg.norm(rot, axis=-1, keepdims=True), 1e-6)
+            new_goal = jnp.where(bike_j[..., None],
+                                 fst.h_pos + 4.0 * dirv, fst.h_goal)
+            # keep the scene alive: a robot that reached its goal sets the
+            # env `done`, which freezes EVERY agent's stepping
+            # (step_masked) — re-aim the robot 4 m along its heading and
+            # clear done/t so later segments still carry motion
+            r_head = jnp.where(
+                jnp.linalg.norm(fst.r_vel, axis=-1, keepdims=True) > 0.05,
+                fst.r_vel, fst.r_goal - fst.r_pos)
+            r_dir = r_head / jnp.maximum(
+                jnp.linalg.norm(r_head, axis=-1, keepdims=True), 1e-6)
+            st = fst._replace(h_goal=new_goal,
+                              r_goal=fst.r_pos + 4.0 * r_dir,
+                              done=jnp.zeros_like(fst.done),
+                              t=jnp.zeros_like(fst.t))
+        traj = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=1), *trajs)
+    else:
+        _, _, traj = R.batch_rollout(states, pol, cfg, max_steps=steps)
 
     examples = []
     for b in range(n_scenes):
@@ -91,6 +146,13 @@ def main():
                    help="multi-class sim scenes (robot track typed ROBOT) "
                         "+ per-node-type encoder dispatch "
                         "(num_node_types=3); reports per-class val ADE/FDE")
+    p.add_argument("--class_mode", default="speed",
+                   choices=["speed", "maneuver"],
+                   help="multi-class synthesis regime: 'speed' = round-4 "
+                        "1.7x BICYCLE speed separation; 'maneuver' = "
+                        "round-5 overlapping-speed zig-zag maneuverers "
+                        "(class is invisible from a 6-frame history — the "
+                        "regime per-node-type dispatch exists for)")
     p.add_argument("--no_dispatch", action="store_true",
                    help="ablation: keep --multi_class data + per-class eval "
                         "but build the encoder with num_node_types=1 (no "
@@ -140,7 +202,8 @@ def main():
             human_num=5, max_humans=5, starts_moving=0,
             robot_kinematics="holonomic")
         examples = generate_sim_scenes(args.n_scenes, env_cfg, args.seed,
-                                       multi_class=args.multi_class)
+                                       multi_class=args.multi_class,
+                                       class_mode=args.class_mode)
 
     rng = np.random.default_rng(args.seed)
     rng.shuffle(examples)

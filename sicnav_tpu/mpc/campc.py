@@ -88,12 +88,9 @@ def init_carry(ocp: OCP) -> CAMPCCarry:
 # layout-independent behavior thresholds remain constants.
 _YIELD_TRANSIT_D = 0.30   # goal-estimate displacement that marks "moving"
 _YIELD_STALL_V = 0.05     # executed speed below this counts as stalled
-_YIELD_HOLD_MAX = 16      # latch timeout (4 s): a yield that has not let the
-#                           mouth clear by then is a human-human jam the wait
-#                           cannot fix — release and push through instead
-_YIELD_COOLDOWN = 12      # post-timeout assert window (3 s) with the yield
-#                           trigger suppressed, so the protocol alternates
-#                           yield/assert instead of deadlocking in either mode
+# the latch timeout / cooldown economy moved to MPCConfig
+# (door_yield_hold_max / door_yield_cooldown) in round 5 so the timeout
+# taxonomy's tuning can sweep them per run (--mpc_kw)
 
 
 def _yield_geometry(state: SimState, cfg: MPCConfig, r_dir, side):
@@ -187,11 +184,11 @@ def door_yield_update(state: SimState, h_goal_est, cfg: MPCConfig,
     (0 = pre-emptive). Once triggered it LATCHES: the reference goal
     stays at a waiting pocket set back from the door against the side
     wall (outside the outflow lane) until the mouth clears of oncoming
-    transiting humans — but only up to _YIELD_HOLD_MAX steps: the trace
+    transiting humans — but only up to cfg.door_yield_hold_max steps: the trace
     audit of the latch-forever variant showed robots parked in the
     pocket from t~3 s to the time limit while the "oncoming" humans
     jammed among themselves and never cleared. A timed-out yield
-    releases into a _YIELD_COOLDOWN assert window (trigger suppressed),
+    releases into a cfg.door_yield_cooldown assert window (trigger off),
     so the robot alternates yield/assert instead of deadlocking in
     either mode. The carry's door_stall counter is dual-purpose:
     unlatched >=0 counts consecutive stalled steps, unlatched <0 counts
@@ -236,13 +233,14 @@ def door_yield_update(state: SimState, h_goal_est, cfg: MPCConfig,
     # latched: hold while an oncoming transiting human occupies the mouth,
     # up to the timeout
     cnt_lat = door_stall + 1
-    timed_out = cnt_lat >= _YIELD_HOLD_MAX
+    timed_out = cnt_lat >= cfg.door_yield_hold_max
     stay = engaged & jnp.any(transiting) & ~timed_out
     latch_new = jnp.where(door_latch, stay, trigger)
     stall_new = jnp.where(
         door_latch,
         jnp.where(stay, cnt_lat,
-                  jnp.where(timed_out, jnp.int32(-_YIELD_COOLDOWN),
+                  jnp.where(timed_out,
+                            jnp.int32(-cfg.door_yield_cooldown),
                             jnp.int32(0))),
         jnp.where(trigger, jnp.int32(0), cnt_unl))
     use_pocket = latch_new

@@ -214,6 +214,14 @@ class MPCConfig:
     # 0 = pre-emptive (yield as soon as oncoming traffic is deeper in the
     # mouth); N>0 = only after the robot has actually been wedged N steps
     door_yield_stall: int = 0
+    # yield-latch economy (round-5 configurable; formerly module
+    # constants): a latch that has not let the mouth clear within
+    # hold_max steps is a human-human jam the wait cannot fix — release
+    # and push through; the release opens a cooldown assert window with
+    # the trigger suppressed so the protocol alternates yield/assert
+    # instead of deadlocking in either mode
+    door_yield_hold_max: int = 16    # latch timeout (steps; 16 = 4 s)
+    door_yield_cooldown: int = 12    # post-timeout assert window (3 s)
     # batched multi-start (round-4 cascade fix): solve the NLP from
     # multi_start parallel initial guesses — [selected (shift-or-fresh),
     # fresh ORCA warmstart, brake profile, lateral side-step] — as ONE

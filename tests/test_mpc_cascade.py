@@ -264,15 +264,16 @@ def test_door_yield_update():
     assert not bool(up5) and not bool(latch5)
 
     # (f) latch TIMEOUT: a yield that has not cleared the mouth by
-    # _YIELD_HOLD_MAX releases into a cooldown (counter = -_YIELD_COOLDOWN)
+    # cfg.door_yield_hold_max releases into a cooldown
+    # (counter = -cfg.door_yield_cooldown)
     # during which the trigger is suppressed even under full stall ...
     up9, _, s9, l9 = C.door_yield_update(
-        moving, est_moving, cfg, jnp.int32(C._YIELD_HOLD_MAX - 1),
+        moving, est_moving, cfg, jnp.int32(cfg.door_yield_hold_max - 1),
         jnp.array(True))
     assert not bool(up9) and not bool(l9)
-    assert int(s9) == -C._YIELD_COOLDOWN
+    assert int(s9) == -cfg.door_yield_cooldown
     stall, latch = s9, l9
-    for _ in range(C._YIELD_COOLDOWN - 1):
+    for _ in range(cfg.door_yield_cooldown - 1):
         upc, _, stall, latch = C.door_yield_update(
             stalled, est_moving, cfg0, stall, latch)  # pre-emptive cfg
         assert not bool(upc)
