@@ -132,6 +132,11 @@ def main():
     p.add_argument("--dwa_nw", type=int, default=64,
                    help="DWA static-window yaw-rate samples (reference "
                         "~60 at 0.5 deg/s)")
+    p.add_argument("--mpc_kw", default=None,
+                   help="extra MPCConfig fields as k=v,k=v (floats/ints/"
+                        "bools) — generic override hook for config sweeps "
+                        "(e.g. door_yield_hold_max=8,door_yield_cooldown=8); "
+                        "applied after the named flags")
     p.add_argument("--allow_random_params", action="store_true",
                    help="evaluate a learned policy WITHOUT a checkpoint "
                         "(randomly initialized params — ablation only)")
@@ -145,6 +150,12 @@ def main():
 
     from sicnav_tpu.env.types import EnvConfig
     from sicnav_tpu import harness
+
+    extra_kw = {}
+    if args.mpc_kw:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from audit_common import _parse_kv
+        extra_kw = _parse_kv(args.mpc_kw)
 
     env_cfg = EnvConfig(
         scenario=args.scenario,
@@ -231,7 +242,8 @@ def main():
                 "brake_margin": args.brake_margin,
                 "rescue_best_margin": args.rescue_best_margin,
                 **({"wall_margin": args.wall_margin}
-                   if args.wall_margin is not None else {})})
+                   if args.wall_margin is not None else {}),
+                **extra_kw})
         init_carry_fn = lambda: SD.init_carry(ocp, env_cfg.max_humans, fcfg)
         if args.kalman_filter:
             from sicnav_tpu.utils.state_filter import (
@@ -286,6 +298,9 @@ def main():
             # plain default OFF (published baselines); opt in with
             # --door_yield
             door_yield=bool(args.door_yield))
+        if extra_kw:
+            import dataclasses
+            mpc_cfg = dataclasses.replace(mpc_cfg, **extra_kw)
         from sicnav_tpu.mpc import ipm
         ocp, policy = C.make_policy(env_cfg, mpc_cfg,
                                     settings=ipm.IPMSettings(n_iter=args.ipm_iters, soc=args.soc,
