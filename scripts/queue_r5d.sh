@@ -24,12 +24,15 @@ run_fused () {
     > .progress/rob_fused_$3.json 2>> $LOG
   echo "=== done fused $3 rc=$? $(date -u +%H:%M:%S) ===" >> $LOG
 }
+# value-ordered: the fused sigma=0.05 pair is the headline mitigation
+# A/B; plain pairs are cheap; fused sigma=0.10 runs last so a round-end
+# cut costs the least-informative rows
+run_fused 0.05 ""              s05_raw
+run_fused 0.05 --kalman_filter s05_kf
 run_plain 0.05 ""              s05_raw
 run_plain 0.05 --kalman_filter s05_kf
 run_plain 0.10 ""              s10_raw
 run_plain 0.10 --kalman_filter s10_kf
-run_fused 0.05 ""              s05_raw
-run_fused 0.05 --kalman_filter s05_kf
 run_fused 0.10 ""              s10_raw
 run_fused 0.10 --kalman_filter s10_kf
 echo "QUEUE D COMPLETE $(date -u +%H:%M:%S)" >> $LOG
