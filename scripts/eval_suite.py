@@ -126,6 +126,12 @@ def main():
                         "human observations before the policy sees them — "
                         "the robustness-table mitigation; composes inside "
                         "--noise_std")
+    p.add_argument("--kf_accel_std", type=float, default=2.0,
+                   help="KFConfig.accel_std process-noise scale: lower = "
+                        "stronger smoothing (trusts the CV model more), "
+                        "higher = tracks maneuvers faster (trusts the "
+                        "measurements more); the round-5 sigma=0.10 "
+                        "residual-collision probe knob")
     p.add_argument("--dwa_nv", type=int, default=8,
                    help="DWA static-window v samples (reference fixed-"
                         "resolution equivalent: ~3-4)")
@@ -251,7 +257,8 @@ def main():
             policy = filtered_policy_stateful(
                 policy, KFConfig(dt=env_cfg.dt,
                                  pos_std=max(args.noise_std, 0.05),
-                                 vel_std=max(args.noise_std, 0.05)))
+                                 vel_std=max(args.noise_std, 0.05),
+                                 accel_std=args.kf_accel_std))
             inner_init = init_carry_fn
             init_carry_fn = lambda: (init_filter(env_cfg.max_humans),
                                      inner_init())
@@ -312,7 +319,8 @@ def main():
             policy = filtered_policy_stateful(
                 policy, KFConfig(dt=env_cfg.dt,
                                  pos_std=max(args.noise_std, 0.05),
-                                 vel_std=max(args.noise_std, 0.05)))
+                                 vel_std=max(args.noise_std, 0.05),
+                                 accel_std=args.kf_accel_std))
             inner_init = init_carry_fn
             init_carry_fn = lambda: (init_filter(env_cfg.max_humans),
                                      inner_init())
